@@ -1,0 +1,76 @@
+"""Configuration dataclasses.
+
+The reference configures everything through compile-time macros and per-app
+hardcoded booleans (reference: src/apps/pr.cpp:26-40, cc.cpp:25-43,
+Makefile:27-28). Here the same ~12 knobs are a pair of frozen dataclasses.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+class Compression(enum.Enum):
+    """Tile compression format (reference: src/ds/compressed_column.hpp:17-23)."""
+
+    CSC = "csc"            # plain CSC per tile
+    DCSC = "dcsc"          # doubly compressed (nnz columns only)
+    TCSC = "tcsc"          # triply compressed: renumbered nnz rows + nnz cols
+    TCSC_CF = "tcsc_cf"    # TCSC + computation filtering (regular/source/sink)
+
+
+class Tiling(enum.Enum):
+    """Tile-to-device layout (reference: src/mat/tiling.hpp:13-16).
+
+    On TPU both collapse to the same mesh-aligned layout (parallel/layout.py);
+    the enum is kept for configuration parity.
+    """
+
+    T2D = "2d"
+    T2DT = "2dt"
+
+
+class Ordering(enum.Enum):
+    """Row vs column ordering (reference: vertex_program.hpp:279-325).
+
+    _COL_ runs the engine on the transpose of the loaded matrix without
+    re-loading (used by the PageRank degree phase, pr.cpp:41).
+    """
+
+    ROW = "row"
+    COL = "col"
+
+
+@dataclass(frozen=True)
+class GraphConfig:
+    """Ingest-time knobs (reference: Graph::load signature, graph.hpp:41-43)."""
+
+    num_vertices: int                  # logical vertex count; matrix is (n+1)^2
+    directed: bool = True              # if False, mirror each edge
+    transpose: bool = False            # swap (row, col) at read time
+    self_loops: bool = True            # True = KEEP self loops (as reference)
+    acyclic: bool = False              # force row < col by swapping
+    parallel_edges: bool = True        # True = KEEP parallel edges
+    has_weight: bool = False           # edge stream carries a u32 weight
+    tiling: Tiling = Tiling.T2DT
+    compression: Compression = Compression.TCSC
+    # TPU-specific: segment alignment for padded static shapes. Each of the
+    # D = R*C vertex segments is padded to a multiple of this.
+    segment_align: int = 1024
+    # Edge padding alignment per device tile.
+    edge_align: int = 1024
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Engine-mode knobs (reference: vertex_program.hpp:27-29 and app mains)."""
+
+    stationary: bool = True
+    gather_depends_on_apply: bool = False
+    apply_depends_on_iter: bool = False
+    ordering: Ordering = Ordering.ROW
+    # Number of iterations; 0 => run to convergence
+    # (reference: execute(), vertex_program.hpp:407-441).
+    num_iterations: int = 0

@@ -1,0 +1,309 @@
+"""Executor: the jitted superstep loop under shard_map.
+
+Re-creates ``Vertex_Program::execute`` (reference: vertex_program.hpp:407-441)
+— the BSP loop ``scatter_gather → combine → apply → converged?`` — as one
+XLA program: a ``lax.fori_loop`` (fixed iterations) or ``lax.while_loop``
+(convergence mode) whose body is a single fused superstep running under
+``jax.shard_map`` on the ('rows','cols') mesh.
+
+Phase mapping (reference → here):
+  scatter_gather (x build + bcast/scatter, :639-1013)
+      → messenger on the owner segment, inactive slots masked to the
+        ⊕-identity (the reference's infinity(), :728), then
+        ``lax.all_gather(axis='rows')``.
+  combine (tile SpMV sweep + partial-y sends, :1017-1506)
+      → gather/⊗/segment-⊕ kernel (kernels/spmv.py) into the renumbered
+        row space, scatter to the dense row block, then
+        ``lax.psum_scatter(axis='cols')`` (sum semirings) or
+        all_to_all + ⊕-fold (min/max semirings).
+  combine_postprocess (leader-side ⊕-fold of partial y, :1510-1573)
+      → free: the reduce-scatter is the fold.
+  apply (:1610-1802)
+      → vectorized applicator masked to the I rows (TCSC semantics,
+        :1655-1670).
+  has_converged (:1885-1923)
+      → psum of the per-device all(~C) vote over both mesh axes.
+  the post-convergence flush (one extra combine+apply with the stale x,
+  :425-429) → run unconditionally after the while_loop from the carried
+  stale messages.
+
+The nonstationary mode (BFS/SSSP/CC) uses dense masked message vectors
+(x[j] = infinity for inactive j), which is the reference's own dense
+nonstationary path (:711-758); the activity-compressed exchange
+(:865-966, triggered at ≤0.6 active fraction) is an ICI-bandwidth
+optimization to be added behind the same interface.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from graphtap_tpu.config import Compression, EngineConfig, Ordering
+from graphtap_tpu.engine.program import VertexProgram, State
+from graphtap_tpu.format.tiles import TileSet
+from graphtap_tpu.ingest.graph import Graph
+from graphtap_tpu.kernels.spmv import spmv_segment, scatter_to_dense
+from graphtap_tpu.parallel.layout import Partition, ROWS, COLS
+
+_MAX_CONVERGENCE_ITERS = 1 << 20
+
+
+def _spec(ndim_extra: int) -> P:
+    return P((ROWS, COLS), *([None] * ndim_extra))
+
+
+class Executor:
+    """Runs one VertexProgram over one TileSet on the mesh."""
+
+    def __init__(self, graph: Graph, program: VertexProgram,
+                 engine: Optional[EngineConfig] = None,
+                 tiles: Optional[TileSet] = None):
+        self.graph = graph
+        self.program = program
+        self.engine = engine or EngineConfig(stationary=program.stationary)
+        self.part: Partition = graph.part
+        self.mesh: Mesh = graph.mesh
+        self.tiles = tiles if tiles is not None else graph.tiled(self.engine.ordering)
+        self._dev_tiles = self.tiles.device_arrays(self.mesh)
+        self._vids = self._put(self.part.owner_vids())      # (D, L) int32
+        self.state: Optional[State] = None
+        self.changed: Optional[jnp.ndarray] = None
+        self.iteration: int = 0
+        self._renumber = self.tiles.ir is not None
+        self._apply_i_mask = self.tiles.compression in (
+            Compression.TCSC, Compression.TCSC_CF)
+
+    # ------------------------------------------------------------------ util
+    def _put(self, arr: np.ndarray):
+        return jax.device_put(
+            arr, NamedSharding(self.mesh, _spec(arr.ndim - 1)))
+
+    # ------------------------------------------------------------- lifecycle
+    def initialize(self, other: Optional["Executor"] = None) -> None:
+        """Build initial state (reference: initialize(), :444-503; the
+        cross-program handoff variant takes the predecessor's state,
+        :467-483)."""
+        vids = self.part.owner_vids()
+        i_mask = self.tiles.i_own
+        other_state = None
+        if other is not None:
+            other_state = {k: np.asarray(v) for k, v in other.state.items()}
+        state_np, changed_np = self.program.init(vids, i_mask, other_state)
+        self.state = {k: self._put(np.asarray(v)) for k, v in state_np.items()}
+        valid = vids < self.graph.nv
+        self.changed = self._put(np.asarray(changed_np, dtype=bool) & valid)
+        self.iteration = 0
+
+    # ------------------------------------------------------------- superstep
+    def _local_superstep(self, V: State, C, tile, it):
+        """One BSP superstep; everything is device-local under shard_map.
+
+        V leaves: (1, L); C: (1, L); tile leaves: (1, ...). Returns
+        (V', C', m, votes)."""
+        prog, sem, part = self.program, self.program.semiring, self.part
+        L, R, Cc = part.L, part.R, part.C
+
+        # --- scatter_gather: x build (reference :688-758)
+        Vl = {k: v[0] for k, v in V.items()}
+        m = prog.messenger(Vl).astype(prog.value_dtype)         # (L,)
+        if not prog.stationary:
+            m = jnp.where(C[0], m, sem.identity_like(m.dtype))
+        x = lax.all_gather(m, ROWS, tiled=True)                  # (R*L,)
+
+        # --- combine: tile SpMV (reference :1116-1327)
+        w = tile["weights"][0] if tile["weights"] is not None else None
+        y_comp = spmv_segment(
+            x, tile["rows"][0], tile["cols"][0], w, tile["nnz"][0, 0],
+            self.tiles.NR, sem)                                  # (NR,)
+        if self._renumber:
+            y_dense = scatter_to_dense(y_comp, tile["ir"][0],
+                                       Cc * L, sem)              # (C*L,)
+        else:
+            y_dense = y_comp
+
+        # --- combine_postprocess: partial-y reduction (reference :1510-1573)
+        if sem.reduce_kind == "sum":
+            y_own = lax.psum_scatter(y_dense, COLS,
+                                     scatter_dimension=0, tiled=True)  # (L,)
+        else:
+            parts = lax.all_to_all(y_dense.reshape(Cc, L), COLS,
+                                   split_axis=0, concat_axis=0)  # (Cc, L)
+            y_own = sem.axis_reduce(parts, axis=0)               # (L,)
+
+        # --- apply (reference :1610-1802)
+        V2l, changed = prog.applicator(Vl, y_own, it)
+        i_own = tile["i_own"][0]
+        if self._apply_i_mask:
+            V2l = {k: jnp.where(i_own, v2, Vl[k]) for k, v2 in V2l.items()}
+            changed = changed & i_own
+        changed = changed & (tile["vids"][0] < self.graph.nv)
+
+        # --- convergence vote (reference :1885-1923)
+        votes = lax.psum(jnp.all(~changed).astype(jnp.int32), (ROWS, COLS))
+
+        V2 = {k: v[None] for k, v in V2l.items()}
+        return V2, changed[None], m, votes
+
+    def _local_flush(self, V: State, C, tile, m_stale, it):
+        """Post-convergence combine+apply with the stale x
+        (reference :425-429)."""
+        prog, sem, part = self.program, self.program.semiring, self.part
+        L, Cc = part.L, part.C
+        x = lax.all_gather(m_stale, ROWS, tiled=True)
+        w = tile["weights"][0] if tile["weights"] is not None else None
+        y_comp = spmv_segment(
+            x, tile["rows"][0], tile["cols"][0], w, tile["nnz"][0, 0],
+            self.tiles.NR, sem)
+        if self._renumber:
+            y_dense = scatter_to_dense(y_comp, tile["ir"][0], Cc * L, sem)
+        else:
+            y_dense = y_comp
+        if sem.reduce_kind == "sum":
+            y_own = lax.psum_scatter(y_dense, COLS, scatter_dimension=0,
+                                     tiled=True)
+        else:
+            parts = lax.all_to_all(y_dense.reshape(Cc, L), COLS,
+                                   split_axis=0, concat_axis=0)
+            y_own = sem.axis_reduce(parts, axis=0)
+        Vl = {k: v[0] for k, v in V.items()}
+        V2l, changed = prog.applicator(Vl, y_own, it)
+        i_own = tile["i_own"][0]
+        if self._apply_i_mask:
+            V2l = {k: jnp.where(i_own, v2, Vl[k]) for k, v2 in V2l.items()}
+            changed = changed & i_own
+        changed = changed & (tile["vids"][0] < self.graph.nv)
+        return {k: v[None] for k, v in V2l.items()}, changed[None]
+
+    # ---------------------------------------------------------------- loops
+    @functools.cached_property
+    def _tile_pytree(self):
+        t = dict(self._dev_tiles)
+        t["vids"] = self._vids
+        # drop fields the superstep doesn't consume
+        for k in ("nnzrows", "j_own", "regular_own", "source_own", "sink_own"):
+            t.pop(k, None)
+        if t["weights"] is None:
+            t.pop("weights")
+            self._has_w = False
+        else:
+            self._has_w = True
+        return t
+
+    def _tile_with_w(self, t):
+        if "weights" not in t:
+            t = dict(t)
+            t["weights"] = None
+        return t
+
+    @functools.cached_property
+    def _run_fixed(self):
+        mesh, part = self.mesh, self.part
+
+        def run(V, C, tile, niters):
+            tile = self._tile_with_w(tile)
+
+            def body(it, carry):
+                V, C = carry
+                V2, C2, _m, _votes = self._local_superstep(V, C, tile, it)
+                return (V2, C2)
+
+            return lax.fori_loop(0, niters, body, (V, C))
+
+        spec1 = _spec(1)
+        shmapped = jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(spec1, spec1, jax.tree.map(lambda _: spec1, dict(self._tile_pytree)), P()),
+            out_specs=(spec1, spec1),
+        )
+        return jax.jit(shmapped, static_argnums=())
+
+    @functools.cached_property
+    def _run_converge(self):
+        mesh, part = self.mesh, self.part
+        D = part.D
+
+        def run(V, C, tile):
+            tile = self._tile_with_w(tile)
+            m0 = lax.pcast(jnp.zeros((part.L,), dtype=self.program.value_dtype),
+                           (ROWS, COLS), to="varying")
+
+            def cond(carry):
+                _V, _C, _m, it, converged = carry
+                return (~converged) & (it < _MAX_CONVERGENCE_ITERS)
+
+            def body(carry):
+                V, C, _m, it, _conv = carry
+                V2, C2, m, votes = self._local_superstep(V, C, tile, it)
+                return (V2, C2, m, it + 1, votes == D)
+
+            V, C, m, it, _ = lax.while_loop(
+                cond, body, (V, C, m0, jnp.int32(0), jnp.bool_(False)))
+            # one extra combine+apply to flush source/sink contributions
+            # (reference :425-429)
+            V, C = self._local_flush(V, C, tile, m, it)
+            return V, C, it
+
+        spec1 = _spec(1)
+        shmapped = jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(spec1, spec1, jax.tree.map(lambda _: spec1, dict(self._tile_pytree))),
+            out_specs=(spec1, spec1, P()),
+        )
+        return jax.jit(shmapped)
+
+    # ------------------------------------------------------------------ API
+    def execute(self, num_iterations: Optional[int] = None) -> int:
+        """Run the loop; returns the iteration count
+        (reference: execute(), :407-441)."""
+        if self.state is None:
+            self.initialize()
+        niters = self.engine.num_iterations if num_iterations is None \
+            else num_iterations
+        tile = self._tile_pytree
+        if niters and niters > 0:
+            V, C = self._run_fixed(self.state, self.changed, tile, niters)
+            self.state, self.changed = V, C
+            self.iteration = niters
+        else:
+            V, C, it = self._run_converge(self.state, self.changed, tile)
+            self.state, self.changed = V, C
+            self.iteration = int(it)
+        jax.block_until_ready(self.state)
+        return self.iteration
+
+    # -------------------------------------------------------------- oracles
+    def state_vector(self) -> Dict[str, np.ndarray]:
+        """Full state in vertex-id order, truncated to nv (host-side)."""
+        out = {}
+        for k, v in self.state.items():
+            arr = np.asarray(v)
+            out[k] = self.part.to_vertex_order(arr)[: self.graph.nv]
+        return out
+
+    def checksum(self) -> Tuple[float, int]:
+        """(value checksum, reachable count)
+        (reference: checksum(), :1927-1960)."""
+        sv = self.state_vector()
+        vals = np.asarray(self.program.get_state(sv))
+        inf = self.program.infinity()
+        mask = vals != inf
+        total = vals[mask].astype(np.float64).sum()
+        return float(total), int(mask.sum())
+
+    def display(self, count: int = 31) -> str:
+        """First ``count`` vertex states (reference: display(), :2124-2181)."""
+        sv = self.state_vector()
+        lines = []
+        for vid in range(min(count, self.graph.nv)):
+            row = {k: v[vid] for k, v in sv.items()}
+            lines.append(f"vid={vid}: {self.program.format_state(row)}")
+        return "\n".join(lines)

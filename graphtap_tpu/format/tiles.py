@@ -1,0 +1,246 @@
+"""Tile construction: filtering, renumbering, compression.
+
+Re-creates the behavior of the reference's format-build pipeline —
+``Matrix::init_filtering`` (matrix.hpp:813-858), ``filter_vertices``
+(matrix.hpp:861-1122), ``classify_vertices`` (matrix.hpp:1125-1282) and the
+``*_BASE::populate`` builders (compressed_column.hpp) — as one vectorized
+host-side pass that emits padded, fixed-shape device arrays. Padding to
+static shapes is the key XLA-ism the C++ never needed: every device must
+run the same jitted superstep, so edge arrays are padded to the max across
+devices and masked.
+
+Format notes (reference: compressed_column.hpp):
+  * CSC  — row ids are raw local rows; y is dense over the row block.
+  * DCSC — adds nnz-column compression; execution-wise identical here
+           because x is gathered per edge by raw local column anyway
+           (kept for stats/parity; the nnz-column list feeds the future
+           compressed message exchange).
+  * TCSC — the paper's format: row ids renumbered to dense nnz-row indices
+           shared across the whole mesh row ("row group"), so the segment
+           reduction targets a compact [0, nnzrows) space and the
+           accumulator scatter (IR) is a dense map
+           (reference: TCSC_BASE::populate, compressed_column.hpp:370-417).
+  * TCSC_CF — TCSC plus regular/source/sink classification; the
+           vertex-class masks are computed here, the three-phase execution
+           plans are engine-side (engine/executor.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from graphtap_tpu.config import Compression
+from graphtap_tpu.parallel.layout import Partition, ROWS, COLS
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class TileSet:
+    """Device-stacked, padded tile arrays for one (matrix, mesh) pair.
+
+    All arrays have a leading device axis of size D = R*C (row-major mesh
+    order); under ``shard_map`` each device sees its slice of size 1.
+    """
+
+    part: Partition
+    compression: Compression
+    has_weight: bool
+    Ep: int                      # padded edges per device
+    NR: int                      # padded segment-space size for the y reduction
+    nnz_total: int               # total (deduped) edge count across devices
+
+    rows: np.ndarray             # (D, Ep) int32, ⊕-segment ids, sorted ascending
+    cols: np.ndarray             # (D, Ep) int32, local col in [0, R*L) for x gather
+    weights: Optional[np.ndarray]  # (D, Ep) or None
+    nnz: np.ndarray              # (D, 1) int32 valid-edge counts
+    ir: Optional[np.ndarray]     # (D, NR) int32 renumbered->dense local row (pad=C*L)
+    nnzrows: np.ndarray          # (D, 1) int32 nnz rows of the device's row group
+    i_own: np.ndarray            # (D, L) bool — in-edge mask of the owner segment
+    j_own: np.ndarray            # (D, L) bool — out-edge mask of the owner segment
+    # vertex classes over the owner segment (for TCSC_CF / stats):
+    regular_own: np.ndarray      # (D, L) bool — i_own & j_own
+    source_own: np.ndarray       # (D, L) bool — i_own & ~j_own (rows w/o cols)
+    sink_own: np.ndarray         # (D, L) bool — j_own & ~i_own (cols w/o rows)
+    nnzcols: np.ndarray          # (D, 1) int32 nnz cols of the device's col group
+
+    def device_arrays(self, mesh: Mesh):
+        """Place the stacked arrays on the mesh (leading axis device-sharded)."""
+        def put(a):
+            if a is None:
+                return None
+            spec = P((ROWS, COLS), *([None] * (a.ndim - 1)))
+            return jax.device_put(a, NamedSharding(mesh, spec))
+        return {
+            "rows": put(self.rows),
+            "cols": put(self.cols),
+            "weights": put(self.weights),
+            "nnz": put(self.nnz),
+            "ir": put(self.ir),
+            "nnzrows": put(self.nnzrows),
+            "i_own": put(self.i_own),
+            "j_own": put(self.j_own),
+            "regular_own": put(self.regular_own),
+            "source_own": put(self.source_own),
+            "sink_own": put(self.sink_own),
+        }
+
+    def edge_balance(self) -> dict:
+        """Imbalance report (analog of Matrix::balance, matrix.hpp:563-687)."""
+        counts = self.nnz[:, 0].astype(np.float64)
+        mean = counts.mean() if counts.size else 0.0
+        return {
+            "per_device": counts.astype(np.int64).tolist(),
+            "mean": float(mean),
+            "max": float(counts.max() if counts.size else 0),
+            "imbalance": float((counts.max() / mean - 1.0) if mean > 0 else 0.0),
+        }
+
+
+def build_tileset(
+    r: np.ndarray,
+    c: np.ndarray,
+    w: Optional[np.ndarray],
+    part: Partition,
+    compression: Compression = Compression.TCSC,
+    parallel_edges: bool = True,
+    edge_align: int = 1024,
+    weight_dtype=np.int32,
+) -> TileSet:
+    """Build the tiled, compressed representation from a host edge list.
+
+    ``r``/``c`` are global (already transformed) row/col ids; ``w`` optional
+    weights. Mirrors ingest → shuffle → filter → compress
+    (reference call stack: graph.hpp:163-169) minus the MPI shuffle, which
+    on a single ingest host is just the binning below. Dedup of parallel
+    edges keeps the minimum weight (deterministic; the reference's
+    std::unique after ColSort keeps an order-dependent survivor,
+    matrix.hpp:546-557).
+    """
+    R, C, L, D = part.R, part.C, part.L, part.D
+    r = np.asarray(r, dtype=np.int64)
+    c = np.asarray(c, dtype=np.int64)
+    if r.size and (r.max() >= part.n_pad or c.max() >= part.n_pad):
+        raise ValueError("vertex id exceeds padded space")
+
+    dev = part.edge_device(r, c)
+    lr = part.local_row(r)
+    lc = part.local_col(c)
+    i_e = dev // C  # mesh row of each edge
+    j_e = dev % C   # mesh col of each edge
+
+    # --- filtering: global nnz-row mask per row group, nnz-col per col group
+    # (reference: filter_vertices over _ROWS_ then _COLS_, matrix.hpp:861-1122;
+    # the Isend/OR/bcast choreography collapses into these two scatters).
+    rows_mask = np.zeros((R, C * L), dtype=bool)
+    rows_mask[i_e, lr] = True
+    cols_mask = np.zeros((C, R * L), dtype=bool)
+    cols_mask[j_e, lc] = True
+
+    # prefix renumbering IV (reference: matrix.hpp:1044-1097)
+    iv = np.cumsum(rows_mask, axis=1, dtype=np.int64) - 1  # valid where mask
+    nnzrows_grp = rows_mask.sum(axis=1).astype(np.int64)   # per mesh row
+    nnzcols_grp = cols_mask.sum(axis=1).astype(np.int64)   # per mesh col
+
+    renumber = compression in (Compression.TCSC, Compression.TCSC_CF)
+
+    # --- per-device binning, sort, dedup, pad
+    order = np.argsort(dev, kind="stable")
+    dev_s, lr_s, lc_s = dev[order], lr[order], lc[order]
+    w_s = w[order] if w is not None else None
+    starts = np.searchsorted(dev_s, np.arange(D))
+    ends = np.searchsorted(dev_s, np.arange(D) + 1)
+
+    per_rows, per_cols, per_w, per_nnz = [], [], [], []
+    for b in range(D):
+        s, e = starts[b], ends[b]
+        blr, blc = lr_s[s:e], lc_s[s:e]
+        bw = w_s[s:e] if w_s is not None else None
+        o = np.lexsort((blc, blr))  # sort by destination row, then col
+        blr, blc = blr[o], blc[o]
+        bw = bw[o] if bw is not None else None
+        if not parallel_edges and blr.size:
+            # dedup on (row, col); keep min weight for determinism
+            key = blr * np.int64(R * L) + blc
+            if bw is not None:
+                o2 = np.lexsort((bw, key))
+                key2, blr, blc, bw = key[o2], blr[o2], blc[o2], bw[o2]
+                keep = np.concatenate(([True], key2[1:] != key2[:-1]))
+                blr, blc, bw = blr[keep], blc[keep], bw[keep]
+                o3 = np.lexsort((blc, blr))
+                blr, blc, bw = blr[o3], blc[o3], bw[o3]
+            else:
+                keep = np.concatenate(([True], key[1:] != key[:-1]))
+                blr, blc = blr[keep], blc[keep]
+        per_rows.append(blr)
+        per_cols.append(blc)
+        per_w.append(bw)
+        per_nnz.append(blr.size)
+
+    nnz_total = int(sum(per_nnz))
+    Ep = _round_up(max(per_nnz + [1]), edge_align)
+
+    if renumber:
+        NR = _round_up(int(max(nnzrows_grp.max(), 1)), 128)
+    else:
+        NR = C * L
+
+    rows_arr = np.zeros((D, Ep), dtype=np.int32)
+    cols_arr = np.zeros((D, Ep), dtype=np.int32)
+    w_arr = np.zeros((D, Ep), dtype=weight_dtype) if w is not None else None
+    nnz_arr = np.zeros((D, 1), dtype=np.int32)
+    ir_arr = np.full((D, NR), C * L, dtype=np.int32) if renumber else None
+    nnzrows_arr = np.zeros((D, 1), dtype=np.int32)
+    nnzcols_arr = np.zeros((D, 1), dtype=np.int32)
+
+    for b in range(D):
+        i, j = divmod(b, C)
+        n = per_nnz[b]
+        blr, blc, bw = per_rows[b], per_cols[b], per_w[b]
+        if renumber:
+            seg_ids = iv[i, blr]  # dense nnz-row ids; sorted since blr sorted
+        else:
+            seg_ids = blr
+        rows_arr[b, :n] = seg_ids
+        if n < Ep:  # pad with last valid id to keep sortedness
+            rows_arr[b, n:] = seg_ids[-1] if n else 0
+        cols_arr[b, :n] = blc
+        if w_arr is not None and bw is not None:
+            w_arr[b, :n] = bw
+        nnz_arr[b, 0] = n
+        nnzrows_arr[b, 0] = nnzrows_grp[i]
+        nnzcols_arr[b, 0] = nnzcols_grp[j]
+        if renumber:
+            nz = np.flatnonzero(rows_mask[i])
+            ir_arr[b, :nz.size] = nz
+
+    # --- owner-segment masks. Device (i, j) owns segment s = j*R + i, which
+    # sits at chunk j of row block i and at chunk i of col block j.
+    i_own = np.zeros((D, L), dtype=bool)
+    j_own = np.zeros((D, L), dtype=bool)
+    for b in range(D):
+        i, j = divmod(b, C)
+        i_own[b] = rows_mask[i, j * L:(j + 1) * L]
+        j_own[b] = cols_mask[j, i * L:(i + 1) * L]
+
+    regular_own = i_own & j_own
+    source_own = i_own & ~j_own   # rows without cols (reference: matrix.hpp:1125)
+    sink_own = j_own & ~i_own     # cols without rows
+
+    return TileSet(
+        part=part, compression=compression, has_weight=w is not None,
+        Ep=Ep, NR=NR, nnz_total=nnz_total,
+        rows=rows_arr, cols=cols_arr, weights=w_arr, nnz=nnz_arr,
+        ir=ir_arr, nnzrows=nnzrows_arr, i_own=i_own, j_own=j_own,
+        regular_own=regular_own, source_own=source_own, sink_own=sink_own,
+        nnzcols=nnzcols_arr,
+    )
