@@ -51,7 +51,8 @@ from graphtap_tpu.config import Compression, EngineConfig, Ordering
 from graphtap_tpu.engine.program import VertexProgram, State
 from graphtap_tpu.format.tiles import TileSet
 from graphtap_tpu.ingest.graph import Graph
-from graphtap_tpu.kernels.spmv import spmv_segment, scatter_to_dense
+from graphtap_tpu.kernels.spmv import (spmv_segment, spmv_sorted_scan,
+                                       scatter_to_dense, expand_compact)
 from graphtap_tpu.parallel.layout import Partition, ROWS, COLS
 
 _MAX_CONVERGENCE_ITERS = 1 << 20
@@ -66,10 +67,14 @@ class Executor:
 
     def __init__(self, graph: Graph, program: VertexProgram,
                  engine: Optional[EngineConfig] = None,
-                 tiles: Optional[TileSet] = None):
+                 tiles: Optional[TileSet] = None,
+                 kernel: str = "scan"):
         self.graph = graph
         self.program = program
         self.engine = engine or EngineConfig(stationary=program.stationary)
+        # 'scan' (scatter-free segmented scan; the TPU fast path) or
+        # 'segment' (jax.ops.segment_*; slow XLA scatter lowering on TPU)
+        self.kernel = kernel
         self.part: Partition = graph.part
         self.mesh: Mesh = graph.mesh
         self.tiles = tiles if tiles is not None else graph.tiled(self.engine.ordering)
@@ -104,13 +109,50 @@ class Executor:
         self.iteration = 0
 
     # ------------------------------------------------------------- superstep
+    def _combine(self, x, tile):
+        """Tile SpMV + partial-y reduction → the owner's y segment (L,).
+
+        (reference: combine + combine_postprocess,
+        vertex_program.hpp:1017-1573)."""
+        sem, part = self.program.semiring, self.part
+        L, Cc = part.L, part.C
+        w = tile["weights"][0] if tile["weights"] is not None else None
+        if self.kernel == "scan":
+            y_comp = spmv_sorted_scan(
+                x, tile["rows"][0], tile["cols"][0], w, tile["nnz"][0, 0],
+                tile["ja"][0], sem)                              # (NR,)
+        else:
+            y_comp = spmv_segment(
+                x, tile["rows"][0], tile["cols"][0], w, tile["nnz"][0, 0],
+                self.tiles.NR, sem)                              # (NR,)
+        if self._renumber:
+            y_dense = expand_compact(y_comp, tile["iv_dense"][0], sem)
+        else:
+            y_dense = y_comp                                     # (C*L,)
+        if sem.reduce_kind == "sum":
+            return lax.psum_scatter(y_dense, COLS,
+                                    scatter_dimension=0, tiled=True)  # (L,)
+        parts = lax.all_to_all(y_dense.reshape(Cc, L), COLS,
+                               split_axis=0, concat_axis=0)      # (Cc, L)
+        return sem.axis_reduce(parts, axis=0)                    # (L,)
+
+    def _apply(self, Vl, y_own, tile, it):
+        """(reference: apply_*, vertex_program.hpp:1610-1802)."""
+        prog = self.program
+        V2l, changed = prog.applicator(Vl, y_own, it)
+        i_own = tile["i_own"][0]
+        if self._apply_i_mask:
+            V2l = {k: jnp.where(i_own, v2, Vl[k]) for k, v2 in V2l.items()}
+            changed = changed & i_own
+        changed = changed & (tile["vids"][0] < self.graph.nv)
+        return V2l, changed
+
     def _local_superstep(self, V: State, C, tile, it):
         """One BSP superstep; everything is device-local under shard_map.
 
         V leaves: (1, L); C: (1, L); tile leaves: (1, ...). Returns
         (V', C', m, votes)."""
-        prog, sem, part = self.program, self.program.semiring, self.part
-        L, R, Cc = part.L, part.R, part.C
+        prog, sem = self.program, self.program.semiring
 
         # --- scatter_gather: x build (reference :688-758)
         Vl = {k: v[0] for k, v in V.items()}
@@ -119,33 +161,8 @@ class Executor:
             m = jnp.where(C[0], m, sem.identity_like(m.dtype))
         x = lax.all_gather(m, ROWS, tiled=True)                  # (R*L,)
 
-        # --- combine: tile SpMV (reference :1116-1327)
-        w = tile["weights"][0] if tile["weights"] is not None else None
-        y_comp = spmv_segment(
-            x, tile["rows"][0], tile["cols"][0], w, tile["nnz"][0, 0],
-            self.tiles.NR, sem)                                  # (NR,)
-        if self._renumber:
-            y_dense = scatter_to_dense(y_comp, tile["ir"][0],
-                                       Cc * L, sem)              # (C*L,)
-        else:
-            y_dense = y_comp
-
-        # --- combine_postprocess: partial-y reduction (reference :1510-1573)
-        if sem.reduce_kind == "sum":
-            y_own = lax.psum_scatter(y_dense, COLS,
-                                     scatter_dimension=0, tiled=True)  # (L,)
-        else:
-            parts = lax.all_to_all(y_dense.reshape(Cc, L), COLS,
-                                   split_axis=0, concat_axis=0)  # (Cc, L)
-            y_own = sem.axis_reduce(parts, axis=0)               # (L,)
-
-        # --- apply (reference :1610-1802)
-        V2l, changed = prog.applicator(Vl, y_own, it)
-        i_own = tile["i_own"][0]
-        if self._apply_i_mask:
-            V2l = {k: jnp.where(i_own, v2, Vl[k]) for k, v2 in V2l.items()}
-            changed = changed & i_own
-        changed = changed & (tile["vids"][0] < self.graph.nv)
+        y_own = self._combine(x, tile)
+        V2l, changed = self._apply(Vl, y_own, tile, it)
 
         # --- convergence vote (reference :1885-1923)
         votes = lax.psum(jnp.all(~changed).astype(jnp.int32), (ROWS, COLS))
@@ -156,31 +173,10 @@ class Executor:
     def _local_flush(self, V: State, C, tile, m_stale, it):
         """Post-convergence combine+apply with the stale x
         (reference :425-429)."""
-        prog, sem, part = self.program, self.program.semiring, self.part
-        L, Cc = part.L, part.C
         x = lax.all_gather(m_stale, ROWS, tiled=True)
-        w = tile["weights"][0] if tile["weights"] is not None else None
-        y_comp = spmv_segment(
-            x, tile["rows"][0], tile["cols"][0], w, tile["nnz"][0, 0],
-            self.tiles.NR, sem)
-        if self._renumber:
-            y_dense = scatter_to_dense(y_comp, tile["ir"][0], Cc * L, sem)
-        else:
-            y_dense = y_comp
-        if sem.reduce_kind == "sum":
-            y_own = lax.psum_scatter(y_dense, COLS, scatter_dimension=0,
-                                     tiled=True)
-        else:
-            parts = lax.all_to_all(y_dense.reshape(Cc, L), COLS,
-                                   split_axis=0, concat_axis=0)
-            y_own = sem.axis_reduce(parts, axis=0)
+        y_own = self._combine(x, tile)
         Vl = {k: v[0] for k, v in V.items()}
-        V2l, changed = prog.applicator(Vl, y_own, it)
-        i_own = tile["i_own"][0]
-        if self._apply_i_mask:
-            V2l = {k: jnp.where(i_own, v2, Vl[k]) for k, v2 in V2l.items()}
-            changed = changed & i_own
-        changed = changed & (tile["vids"][0] < self.graph.nv)
+        V2l, changed = self._apply(Vl, y_own, tile, it)
         return {k: v[None] for k, v in V2l.items()}, changed[None]
 
     # ---------------------------------------------------------------- loops
@@ -189,8 +185,11 @@ class Executor:
         t = dict(self._dev_tiles)
         t["vids"] = self._vids
         # drop fields the superstep doesn't consume
-        for k in ("nnzrows", "j_own", "regular_own", "source_own", "sink_own"):
+        for k in ("nnzrows", "j_own", "regular_own", "source_own", "sink_own",
+                  "ir"):
             t.pop(k, None)
+        if t.get("iv_dense") is None:
+            t.pop("iv_dense", None)
         if t["weights"] is None:
             t.pop("weights")
             self._has_w = False

@@ -63,7 +63,9 @@ class TileSet:
     cols: np.ndarray             # (D, Ep) int32, local col in [0, R*L) for x gather
     weights: Optional[np.ndarray]  # (D, Ep) or None
     nnz: np.ndarray              # (D, 1) int32 valid-edge counts
+    ja: np.ndarray               # (D, NR+1) int32 row pointer over valid edges
     ir: Optional[np.ndarray]     # (D, NR) int32 renumbered->dense local row (pad=C*L)
+    iv_dense: Optional[np.ndarray]  # (D, C*L) int32 dense row -> renumbered id, -1 if none
     nnzrows: np.ndarray          # (D, 1) int32 nnz rows of the device's row group
     i_own: np.ndarray            # (D, L) bool — in-edge mask of the owner segment
     j_own: np.ndarray            # (D, L) bool — out-edge mask of the owner segment
@@ -85,7 +87,9 @@ class TileSet:
             "cols": put(self.cols),
             "weights": put(self.weights),
             "nnz": put(self.nnz),
+            "ja": put(self.ja),
             "ir": put(self.ir),
+            "iv_dense": put(self.iv_dense),
             "nnzrows": put(self.nnzrows),
             "i_own": put(self.i_own),
             "j_own": put(self.j_own),
@@ -198,7 +202,9 @@ def build_tileset(
     cols_arr = np.zeros((D, Ep), dtype=np.int32)
     w_arr = np.zeros((D, Ep), dtype=weight_dtype) if w is not None else None
     nnz_arr = np.zeros((D, 1), dtype=np.int32)
+    ja_arr = np.zeros((D, NR + 1), dtype=np.int32)
     ir_arr = np.full((D, NR), C * L, dtype=np.int32) if renumber else None
+    iv_arr = np.full((D, C * L), -1, dtype=np.int32) if renumber else None
     nnzrows_arr = np.zeros((D, 1), dtype=np.int32)
     nnzcols_arr = np.zeros((D, 1), dtype=np.int32)
 
@@ -219,9 +225,11 @@ def build_tileset(
         nnz_arr[b, 0] = n
         nnzrows_arr[b, 0] = nnzrows_grp[i]
         nnzcols_arr[b, 0] = nnzcols_grp[j]
+        ja_arr[b] = np.searchsorted(rows_arr[b, :n], np.arange(NR + 1))
         if renumber:
             nz = np.flatnonzero(rows_mask[i])
             ir_arr[b, :nz.size] = nz
+            iv_arr[b] = np.where(rows_mask[i], iv[i], -1)
 
     # --- owner-segment masks. Device (i, j) owns segment s = j*R + i, which
     # sits at chunk j of row block i and at chunk i of col block j.
@@ -240,7 +248,8 @@ def build_tileset(
         part=part, compression=compression, has_weight=w is not None,
         Ep=Ep, NR=NR, nnz_total=nnz_total,
         rows=rows_arr, cols=cols_arr, weights=w_arr, nnz=nnz_arr,
-        ir=ir_arr, nnzrows=nnzrows_arr, i_own=i_own, j_own=j_own,
+        ja=ja_arr, ir=ir_arr, iv_dense=iv_arr,
+        nnzrows=nnzrows_arr, i_own=i_own, j_own=j_own,
         regular_own=regular_own, source_own=source_own, sink_own=sink_own,
         nnzcols=nnzcols_arr,
     )

@@ -1,0 +1,97 @@
+"""Single-chip kernel lab: compare SpMV implementations on one graph.
+
+The analog of the reference's ``src/singlenode/`` harness
+(main.cpp: 6 format/kernel variants running the same PageRank and printing
+memory / time / op count / checksum for cross-checking). Here the variants
+are the TPU kernel implementations behind one API:
+
+  0  scan     — scatter-free segmented-scan TCSC (the production path)
+  1  segment  — jax.ops.segment_sum TCSC (XLA scatter lowering)
+  2  scan-csc — segmented scan over plain CSC (no renumbering)
+
+Usage: python -m graphtap_tpu.tools.kernel_lab <which> <file> <nvertices> <niters>
+(mirrors ``bin/main <which> <file> <nvertices> <niters>``,
+singlenode/main.cpp:26).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+VARIANTS = {0: ("scan", "tcsc"), 1: ("segment", "tcsc"), 2: ("scan", "csc")}
+
+
+def run_variant(which: int, path: str, nvertices: int, niters: int,
+                value_dtype=None) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from graphtap_tpu import Graph, GraphConfig, Compression, make_mesh
+    from graphtap_tpu.apps.degree import DegreeProgram
+    from graphtap_tpu.apps.pagerank import PageRankProgram
+    from graphtap_tpu.config import EngineConfig, Ordering
+    from graphtap_tpu.engine.executor import Executor
+
+    if value_dtype is None:
+        value_dtype = jnp.float32
+    kernel, comp = VARIANTS[which]
+    compression = Compression.TCSC if comp == "tcsc" else Compression.CSC
+
+    mesh = make_mesh(jax.devices()[:1], shape=(1, 1))
+    cfg = GraphConfig(num_vertices=nvertices, directed=True, transpose=True,
+                      compression=compression)
+    g = Graph.load(path, cfg, mesh=mesh)
+
+    deg_ex = Executor(g, DegreeProgram(value_dtype=value_dtype),
+                      EngineConfig(stationary=True, ordering=Ordering.COL),
+                      kernel=kernel)
+    deg_ex.initialize()
+    deg_ex.execute(1)
+
+    pr_ex = Executor(g, PageRankProgram(value_dtype=value_dtype),
+                     EngineConfig(stationary=True, ordering=Ordering.ROW),
+                     kernel=kernel)
+    pr_ex.initialize(other=deg_ex)
+    pr_ex.execute(niters)  # warmup/compile
+    pr_ex.initialize(other=deg_ex)
+    t0 = time.perf_counter()
+    pr_ex.execute(niters)
+    dt = time.perf_counter() - t0
+
+    nnz = pr_ex.tiles.nnz_total
+    checksum, reachable = pr_ex.checksum()
+    mem = sum(a.nbytes for a in
+              (pr_ex.tiles.rows, pr_ex.tiles.cols, pr_ex.tiles.ja)
+              if a is not None)
+    return {
+        "variant": f"{kernel}/{comp}",
+        "memory_gb": mem / 1e9,
+        "seconds": dt,
+        "operations": nnz * niters,
+        "gteps": nnz * niters / dt / 1e9,
+        "checksum": checksum,
+        "reachable": reachable,
+    }
+
+
+def main(argv=None):
+    argv = argv or sys.argv[1:]
+    if len(argv) != 4:
+        print("Usage: kernel_lab <which 0-2> <file> <nvertices> <niters>")
+        return 1
+    which, path, nv, niters = int(argv[0]), argv[1], int(argv[2]), int(argv[3])
+    r = run_variant(which, path, nv, niters)
+    print(f"{r['variant']} kernel unit test stats:")
+    print(f"Utilized Memory: {r['memory_gb']:.6g} GB")
+    print(f"Elapsed time   : {r['seconds']:.6g} Sec")
+    print(f"Num Operations : {r['operations']}")
+    print(f"GTEPS          : {r['gteps']:.4f}")
+    print(f"Final value    : {r['checksum']:.6g}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -11,8 +11,9 @@ import jax.numpy as jnp
 
 from graphtap_tpu.kernels.semiring import (plus_times, min_plus, min_select,
                                            INF_I32)
-from graphtap_tpu.kernels.spmv import spmv_segment, spmv_dense_reference, \
-    scatter_to_dense
+from graphtap_tpu.kernels.spmv import (spmv_segment, spmv_dense_reference,
+                                       spmv_sorted_scan, scatter_to_dense,
+                                       expand_compact)
 
 
 def _random_tile(rng, n_rows, n_cols, nnz, Ep, weighted, dtype):
@@ -51,6 +52,42 @@ def test_segment_vs_dense(semiring, dtype, weighted):
                               None if w is None else jnp.asarray(w),
                               jnp.int32(nnz), n_rows, semiring)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-12)
+
+
+@pytest.mark.parametrize("semiring,dtype", [
+    (plus_times(), np.float64),
+    (min_plus(), np.int32),
+    (min_select(), np.int32),
+])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_scan_vs_dense(semiring, dtype, weighted):
+    """The scatter-free segmented-scan kernel must agree with ground truth,
+    including empty segments and padding lanes."""
+    rng = np.random.default_rng(11)
+    n_rows, n_cols, nnz, Ep = 96, 160, 700, 1024
+    rows, cols, w, x = _random_tile(rng, n_rows, n_cols, nnz, Ep, weighted,
+                                    dtype)
+    ja = np.searchsorted(rows[:nnz], np.arange(n_rows + 1)).astype(np.int32)
+    y1 = spmv_sorted_scan(jnp.asarray(x), jnp.asarray(rows),
+                          jnp.asarray(cols),
+                          None if w is None else jnp.asarray(w),
+                          jnp.int32(nnz), jnp.asarray(ja), semiring)
+    y2 = spmv_dense_reference(jnp.asarray(x), jnp.asarray(rows),
+                              jnp.asarray(cols),
+                              None if w is None else jnp.asarray(w),
+                              jnp.int32(nnz), n_rows, semiring)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-12)
+
+
+def test_expand_compact_matches_scatter():
+    sem = plus_times()
+    y_comp = jnp.asarray(np.array([1.0, 2.0, 3.0]))
+    ir = jnp.asarray(np.array([4, 7, 10], np.int32))
+    iv = np.full(10, -1, np.int32)
+    iv[4], iv[7] = 0, 1
+    y1 = scatter_to_dense(y_comp, ir, 10, sem)
+    y2 = expand_compact(y_comp, jnp.asarray(iv), sem)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2))
 
 
 def test_empty_segments_fill_identity():
