@@ -1,0 +1,255 @@
+"""Pallas kernels for the static-shuffle SpMV pipeline.
+
+Three kernels driven entirely by host-precomputed plans
+(kernels/shuffle_plan.py): no scatter, no dynamic gather from large
+tables — only streaming block I/O, dynamic single-row VMEM reads/writes,
+lane crossbars (take_along_axis → tpu.dynamic_gather), and masked merges.
+
+  expand_kernel : x (VMEM-resident) → per-edge contributions,
+                  column-sorted edge stream. Replaces the XLA `jnp.take`
+                  x-gather (measured 0.12 Gelem/s) with window reads +
+                  crossbars.
+  group_kernel  : in-VMEM stable radix passes regrouping the contribution
+                  stream by destination 128-row block, per VMEM-sized
+                  "super". Replaces scatter/sort.
+  reduce_kernel : blocked one-hot ⊕-fold of the grouped stream into the
+                  compact row space (variant of kernels/pallas_spmv.py
+                  with validity masks and per-chunk row-block targeting).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUB = 8
+
+
+# --------------------------------------------------------------------------
+# expand
+# --------------------------------------------------------------------------
+
+def _expand_body(nwin, has_w, fill,
+                 wr_ref, slot_ref, lane_ref, ev_ref, w_ref, x_ref,
+                 out_ref, tbl):
+    lane32 = lane_ref[:, :].astype(jnp.int32)
+    slot = slot_ref[:, :]
+    acc = jnp.zeros((SUB, LANES), dtype=out_ref.dtype)
+    for j in range(nwin):
+        for i in range(SUB):
+            q = wr_ref[i, j]
+            tbl[pl.ds(i, 1), :] = x_ref[pl.ds(q, 1), :]
+        g = jnp.take_along_axis(tbl[:, :], lane32, axis=1)
+        acc = jnp.where(slot == j, g, acc)
+    ev = ev_ref[:, :] != 0
+    if has_w:
+        acc = acc * w_ref[:, :]
+    out_ref[:, :] = jnp.where(ev, acc, jnp.asarray(fill, out_ref.dtype))
+
+
+def expand_stream(x2d, win_rows, slot, lane, evalid, weights, fill,
+                  interpret=False):
+    """Run the expand kernel.
+
+    x2d: (Sx, 128) f32 resident; win_rows: (out_rows, NWIN) int32;
+    slot/lane: (out_rows, 128) int8; evalid: (out_rows, 128) int8;
+    weights: (out_rows, 128) f32 or None.
+    Returns contrib (out_rows, 128) f32.
+    """
+    out_rows, nwin = win_rows.shape
+    nsteps = out_rows // SUB
+    has_w = weights is not None
+    kern = functools.partial(_expand_body, nwin, has_w, fill)
+    in_specs = [
+        pl.BlockSpec((SUB, nwin), lambda i: (i, 0)),
+        pl.BlockSpec((SUB, LANES), lambda i: (i, 0)),
+        pl.BlockSpec((SUB, LANES), lambda i: (i, 0)),
+        pl.BlockSpec((SUB, LANES), lambda i: (i, 0)),
+        pl.BlockSpec((SUB, LANES), lambda i: (i, 0)),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    args = [win_rows, slot, lane, evalid,
+            weights if has_w else jnp.zeros((SUB, LANES), x2d.dtype),
+            x2d]
+    if not has_w:
+        in_specs[4] = pl.BlockSpec((SUB, LANES), lambda i: (0, 0))
+    return pl.pallas_call(
+        kern,
+        grid=(nsteps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((SUB, LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((out_rows, LANES), x2d.dtype),
+        scratch_shapes=[pltpu.VMEM((SUB, LANES), x2d.dtype)],
+        interpret=interpret,
+    )(*args)
+
+
+# --------------------------------------------------------------------------
+# group (in-VMEM radix passes per super)
+# --------------------------------------------------------------------------
+
+def _group_body(npasses, rows_per_super, rchunk, smax,
+                in_ref, dst_ref, idx_ref, msk_ref, out_ref, A, B):
+    s = pl.program_id(0)
+    stage = pl.program_id(1)   # 0 = load, 1..npasses = route, npasses+1 = store
+    rc = pl.program_id(2)
+
+    @pl.when(stage == 0)
+    def _load():
+        A[pl.ds(rc * rchunk, rchunk), :] = in_ref[:, :]
+
+    @pl.when((stage > 0) & (stage <= npasses))
+    def _route():
+        # stage p: read from src buffer, write routed rows into dst buffer
+        def body(k, _):
+            r = rc * rchunk + k
+            for j in range(smax):
+                d = dst_ref[0, 0, k, j]
+
+                @pl.when(d >= 0)
+                def _():
+                    idx = idx_ref[0, 0, k,
+                                  j * LANES:(j + 1) * LANES].astype(
+                        jnp.int32).reshape(1, LANES)
+                    m = msk_ref[0, 0, k,
+                                j * LANES:(j + 1) * LANES].reshape(
+                        1, LANES) != 0
+                    # ping-pong: odd stages A->B, even stages B->A
+                    def rmw(src, dstbuf):
+                        row = src[pl.ds(r, 1), :]
+                        g = jnp.take_along_axis(row, idx, axis=1)
+                        cur = dstbuf[pl.ds(d, 1), :]
+                        dstbuf[pl.ds(d, 1), :] = jnp.where(m, g, cur)
+                    @pl.when(stage % 2 == 1)
+                    def _():
+                        rmw(A, B)
+                    @pl.when(stage % 2 == 0)
+                    def _():
+                        rmw(B, A)
+            return 0
+        lax.fori_loop(0, rchunk, body, 0)
+
+    @pl.when(stage == npasses + 1)
+    def _store():
+        @pl.when(npasses % 2 == 1)
+        def _():
+            out_ref[:, :] = B[pl.ds(rc * rchunk, rchunk), :]
+        @pl.when(npasses % 2 == 0)
+        def _():
+            out_ref[:, :] = A[pl.ds(rc * rchunk, rchunk), :]
+
+
+def group_stream(contrib, frag_dst, frag_idx, frag_mask,
+                 rows_per_super: int, npasses: int, rchunk: int = 64,
+                 interpret=False):
+    """Regroup the contribution stream (see GroupPlan).
+
+    contrib: (total_rows, 128); frag_dst: (nsupers, npasses, rows, SMAX)
+    int32; frag_idx/mask: (..., 128) int8. Returns the regrouped stream,
+    same shape (holes contain garbage — mask with the reduce plan's
+    evalid).
+    """
+    nsupers = frag_dst.shape[0]
+    smax = frag_dst.shape[3]
+    nrc = rows_per_super // rchunk
+    kern = functools.partial(_group_body, npasses, rows_per_super, rchunk,
+                             smax)
+    grid = (nsupers, npasses + 2, nrc)
+
+    def in_map(s, p, rc):
+        # stream input rows only during the load stage; afterwards pin to
+        # block 0 (revisited, not re-fetched)
+        return (jnp.where(p == 0, s * nrc + rc, 0), 0)
+
+    def plan_map(s, p, rc):
+        pp = jnp.maximum(p - 1, 0)
+        return (s, pp, rc, 0)
+
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rchunk, LANES), in_map),
+            pl.BlockSpec((1, 1, rchunk, smax), plan_map),
+            pl.BlockSpec((1, 1, rchunk, smax * LANES), plan_map),
+            pl.BlockSpec((1, 1, rchunk, smax * LANES), plan_map),
+        ],
+        out_specs=pl.BlockSpec((rchunk, LANES),
+                               lambda s, p, rc: (s * nrc + rc, 0)),
+        out_shape=jax.ShapeDtypeStruct(contrib.shape, contrib.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows_per_super, LANES), contrib.dtype),
+            pltpu.VMEM((rows_per_super, LANES), contrib.dtype),
+        ],
+        interpret=interpret,
+    )(contrib, frag_dst, frag_idx, frag_mask)
+
+
+# --------------------------------------------------------------------------
+# reduce (grouped stream -> compact y)
+# --------------------------------------------------------------------------
+
+def _reduce_body(reduce_kind, identity, rows_per_chunk,
+                 cb_ref, c_ref, lr_ref, ev_ref, y_ref):
+    ci = pl.program_id(0)
+    cb = cb_ref[ci]
+
+    @pl.when(ci == 0)
+    def _():
+        y_ref[...] = jnp.full_like(y_ref, identity)
+
+    c = c_ref[:, :].reshape(-1, 1)
+    lr = lr_ref[:, :].astype(jnp.int32).reshape(-1, 1)
+    ev = (ev_ref[:, :] != 0).reshape(-1, 1)
+    n = c.shape[0]
+    lanes = lax.broadcasted_iota(jnp.int32, (n, LANES), 1)
+    hit = (lr == lanes) & ev
+    vals = jnp.where(hit, c, jnp.asarray(identity, c_ref.dtype))
+    if reduce_kind == "sum":
+        part = jnp.sum(jnp.where(hit, c, 0), axis=0, keepdims=True)
+        y_ref[pl.ds(cb, 1), :] = y_ref[pl.ds(cb, 1), :] + part
+    elif reduce_kind == "min":
+        part = jnp.min(vals, axis=0, keepdims=True)
+        y_ref[pl.ds(cb, 1), :] = jnp.minimum(y_ref[pl.ds(cb, 1), :], part)
+    else:
+        part = jnp.max(vals, axis=0, keepdims=True)
+        y_ref[pl.ds(cb, 1), :] = jnp.maximum(y_ref[pl.ds(cb, 1), :], part)
+
+
+def grouped_reduce(contrib, lr, evalid, chunk_block, nblocks: int,
+                   reduce_kind: str, identity, rows_per_chunk: int = 8,
+                   interpret=False):
+    """⊕-fold a row-block-grouped stream into (nblocks, 128).
+
+    contrib/lr/evalid: (total_rows, 128); chunk_block: (nchunks,) int32,
+    one entry per ``rows_per_chunk`` stream rows, all of whose valid lanes
+    target that 128-row block.
+    """
+    nchunks = chunk_block.shape[0]
+    kern = functools.partial(_reduce_body, reduce_kind, identity,
+                             rows_per_chunk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((rows_per_chunk, LANES), lambda i, cb: (i, 0)),
+            pl.BlockSpec((rows_per_chunk, LANES), lambda i, cb: (i, 0)),
+            pl.BlockSpec((rows_per_chunk, LANES), lambda i, cb: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((nblocks, LANES), lambda i, cb: (0, 0)),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nblocks, LANES), contrib.dtype),
+        interpret=interpret,
+    )(chunk_block, contrib, lr, evalid)
