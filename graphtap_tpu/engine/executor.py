@@ -72,8 +72,9 @@ class Executor:
         self.graph = graph
         self.program = program
         self.engine = engine or EngineConfig(stationary=program.stationary)
-        # 'scan' (scatter-free segmented scan; the TPU fast path) or
-        # 'segment' (jax.ops.segment_*; slow XLA scatter lowering on TPU)
+        # 'shuffle' — the Pallas static-shuffle pipeline (TPU fast path);
+        # 'scan'    — XLA segmented associative scan (portable);
+        # 'segment' — jax.ops.segment_* (slow XLA scatter lowering on TPU).
         self.kernel = kernel
         self.part: Partition = graph.part
         self.mesh: Mesh = graph.mesh
@@ -86,6 +87,15 @@ class Executor:
         self._renumber = self.tiles.ir is not None
         self._apply_i_mask = self.tiles.compression in (
             Compression.TCSC, Compression.TCSC_CF)
+        self._shuffle_meta = None
+        if self.kernel == "shuffle":
+            from graphtap_tpu.kernels.shuffle_engine import \
+                build_shuffle_plans
+            if not self._renumber:
+                raise ValueError("shuffle kernel requires TCSC compression")
+            self._shuffle_meta = build_shuffle_plans(
+                self.tiles, value_dtype=np.dtype(self.program.value_dtype))
+            self._shuffle_dev = self._shuffle_meta.device_arrays(self.mesh)
 
     # ------------------------------------------------------------------ util
     def _put(self, arr: np.ndarray):
@@ -116,6 +126,18 @@ class Executor:
         vertex_program.hpp:1017-1573)."""
         sem, part = self.program.semiring, self.part
         L, Cc = part.L, part.C
+        if self.kernel == "shuffle":
+            from graphtap_tpu.kernels.shuffle_engine import spmv_local
+            plan_local = {k: tile[k][0] for k in self._shuffle_meta.arrays}
+            interp = self.mesh.devices.flat[0].platform != "tpu"
+            y_dense = spmv_local(x, plan_local, self._shuffle_meta, sem,
+                                 dense_len=Cc * L, interpret=interp)
+            if sem.reduce_kind == "sum":
+                return lax.psum_scatter(y_dense, COLS,
+                                        scatter_dimension=0, tiled=True)
+            parts = lax.all_to_all(y_dense.reshape(Cc, L), COLS,
+                                   split_axis=0, concat_axis=0)
+            return sem.axis_reduce(parts, axis=0)
         w = tile["weights"][0] if tile["weights"] is not None else None
         if self.kernel == "scan":
             y_comp = spmv_sorted_scan(
@@ -182,6 +204,11 @@ class Executor:
     # ---------------------------------------------------------------- loops
     @functools.cached_property
     def _tile_pytree(self):
+        if self.kernel == "shuffle":
+            t = dict(self._shuffle_dev)
+            t["vids"] = self._vids
+            t["i_own"] = self._dev_tiles["i_own"]
+            return t
         t = dict(self._dev_tiles)
         t["vids"] = self._vids
         # drop fields the superstep doesn't consume
@@ -222,6 +249,7 @@ class Executor:
             run, mesh=mesh,
             in_specs=(spec1, spec1, jax.tree.map(lambda _: spec1, dict(self._tile_pytree)), P()),
             out_specs=(spec1, spec1),
+            check_vma=False,
         )
         return jax.jit(shmapped, static_argnums=())
 
@@ -256,6 +284,7 @@ class Executor:
             run, mesh=mesh,
             in_specs=(spec1, spec1, jax.tree.map(lambda _: spec1, dict(self._tile_pytree))),
             out_specs=(spec1, spec1, P()),
+            check_vma=False,
         )
         return jax.jit(shmapped)
 

@@ -1,0 +1,160 @@
+"""Device-stacked shuffle-SpMV plans and the shard_map-local SpMV.
+
+Bridges the static planner (shuffle_plan.py) and kernels
+(shuffle_kernels.py) into the engine: builds one SpmvPlan per device from
+a TileSet, normalizes shapes across devices (shard_map runs one program),
+stacks the plan arrays with a leading device axis, and exposes
+``spmv_local`` — the per-device SpMV used inside the jitted superstep.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from graphtap_tpu.format.tiles import TileSet
+from graphtap_tpu.kernels.semiring import Semiring
+from graphtap_tpu.kernels.shuffle_plan import (build_spmv_plan,
+                                               plan_monotone_expand,
+                                               LANES, RED_ROWS)
+from graphtap_tpu.kernels.shuffle_kernels import (expand_stream,
+                                                  group_stream,
+                                                  grouped_reduce)
+
+
+@dataclass
+class ShufflePlans:
+    """Static meta + device-stacked plan arrays (dict of (D, ...) numpy)."""
+    NWIN: int
+    total_rows: int
+    rows_per_super: int
+    nsupers: int
+    npasses: int
+    SMAX: int
+    nblocks: int
+    NR: int
+    NC: int
+    has_w: bool
+    mexp_rows: int           # dense-expand output rows (C*L/128)
+    arrays: Dict[str, np.ndarray]
+
+    def device_arrays(self, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from graphtap_tpu.parallel.layout import ROWS, COLS
+        out = {}
+        for k, a in self.arrays.items():
+            spec = P((ROWS, COLS), *([None] * (a.ndim - 1)))
+            out[k] = jax.device_put(a, NamedSharding(mesh, spec))
+        return out
+
+
+def build_shuffle_plans(tiles: TileSet, value_dtype=np.float32,
+                        nwin: int = 8, rows_per_super: int = 4096
+                        ) -> ShufflePlans:
+    part = tiles.part
+    D = part.D
+    NR, NC = tiles.NR, part.tile_cols
+
+    plans = []
+    for b in range(D):
+        n = int(tiles.nnz[b, 0])
+        r = tiles.rows[b, :n].astype(np.int64)
+        c = tiles.cols[b, :n].astype(np.int64)
+        w = (tiles.weights[b, :n] if tiles.weights is not None else None)
+        plans.append(build_spmv_plan(r, c, w, NR, NC, nwin=nwin,
+                                     rows_per_super=rows_per_super,
+                                     value_dtype=value_dtype))
+    npasses = max(p.npasses for p in plans)
+    # rebuild plans whose pass count is short (extra passes are identity)
+    for b in range(D):
+        if plans[b].npasses != npasses:
+            n = int(tiles.nnz[b, 0])
+            r = tiles.rows[b, :n].astype(np.int64)
+            c = tiles.cols[b, :n].astype(np.int64)
+            w = (tiles.weights[b, :n] if tiles.weights is not None else None)
+            plans[b] = build_spmv_plan(
+                r, c, w, NR, NC, nwin=nwin, rows_per_super=rows_per_super,
+                value_dtype=value_dtype, force_npasses=npasses)
+    nsupers = max(p.nsupers for p in plans)
+    smax = max(p.SMAX for p in plans)
+    total_rows = nsupers * rows_per_super
+    rps = rows_per_super
+
+    def pad_to(a, shape, fill):
+        out = np.full(shape, fill, dtype=a.dtype)
+        sl = tuple(slice(0, s) for s in a.shape)
+        out[sl] = a
+        return out
+
+    has_w = tiles.weights is not None
+    arrs = {k: [] for k in ("win_rows", "slot", "lane", "ev_x", "w_stream",
+                            "frag_dst", "frag_idx", "chunk_block", "lr",
+                            "ev_r", "mexp_win", "mexp_slot", "mexp_lane",
+                            "mexp_ev")}
+    mexp_rows = part.tile_rows // LANES
+    for b, p in enumerate(plans):
+        arrs["win_rows"].append(pad_to(p.win_rows, (total_rows, nwin), 0))
+        arrs["slot"].append(pad_to(p.slot, (total_rows, LANES), 0))
+        arrs["lane"].append(pad_to(p.lane, (total_rows, LANES), 0))
+        arrs["ev_x"].append(pad_to(p.ev_x, (total_rows, LANES), 0))
+        if has_w:
+            arrs["w_stream"].append(
+                pad_to(p.w_stream, (total_rows, LANES), 0))
+        arrs["frag_dst"].append(pad_to(
+            p.frag_dst, (nsupers, npasses, rps, smax), -1))
+        arrs["frag_idx"].append(pad_to(
+            p.frag_idx, (nsupers, npasses, rps, smax * LANES), -1))
+        arrs["chunk_block"].append(pad_to(
+            p.chunk_block, (total_rows // RED_ROWS,), 0))
+        arrs["lr"].append(pad_to(p.lr, (total_rows, LANES), 0))
+        arrs["ev_r"].append(pad_to(p.ev_r, (total_rows, LANES), 0))
+        mp = plan_monotone_expand(tiles.iv_dense[b].astype(np.int64))
+        arrs["mexp_win"].append(mp.win_rows)
+        arrs["mexp_slot"].append(mp.slot)
+        arrs["mexp_lane"].append(mp.lane)
+        arrs["mexp_ev"].append(mp.ev)
+    if not has_w:
+        del arrs["w_stream"]
+    arrays = {k: np.stack(v) for k, v in arrs.items()}
+    return ShufflePlans(
+        NWIN=nwin, total_rows=total_rows, rows_per_super=rps,
+        nsupers=nsupers, npasses=npasses, SMAX=smax,
+        nblocks=plans[0].nblocks, NR=NR, NC=NC, has_w=has_w,
+        mexp_rows=mexp_rows, arrays=arrays)
+
+
+def spmv_local(x, t: Dict, meta: ShufflePlans, semiring: Semiring,
+               dense_len: int, interpret: bool = False):
+    """Per-device SpMV inside shard_map: x (NC,) → y_dense (dense_len,).
+
+    ``t`` holds the LOCAL plan slices (leading device axis already
+    dropped)."""
+    fill = semiring.identity
+    if semiring.reduce_kind == "sum":
+        mul_kind = "mul" if meta.has_w else "none"
+    else:
+        mul_kind = "add_sat" if meta.has_w else "none"
+    x2d = x.reshape(-1, LANES)
+    contrib = expand_stream(
+        x2d, t["win_rows"], t["slot"], t["lane"], t["ev_x"],
+        t.get("w_stream"), fill, mul_kind=mul_kind, interpret=interpret)
+    grouped = group_stream(
+        contrib, t["frag_dst"], t["frag_idx"],
+        meta.rows_per_super, meta.npasses, rchunk=64, interpret=interpret)
+    y_blocks = grouped_reduce(
+        grouped, t["lr"], t["ev_r"], t["chunk_block"], meta.nblocks,
+        semiring.reduce_kind, fill, rows_per_chunk=RED_ROWS,
+        interpret=interpret)
+    # compact -> dense row block via the monotone-expand kernel; pad the
+    # table by one row so window base+1 stays in bounds
+    ytab = jnp.concatenate(
+        [y_blocks, jnp.full((1, LANES), fill, dtype=y_blocks.dtype)], axis=0)
+    y_dense = expand_stream(
+        ytab, t["mexp_win"], t["mexp_slot"], t["mexp_lane"], t["mexp_ev"],
+        None, fill, mul_kind="none", interpret=interpret)
+    return y_dense.reshape(-1)[:dense_len]

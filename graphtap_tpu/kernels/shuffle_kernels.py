@@ -38,7 +38,7 @@ SUB = 8
 # expand
 # --------------------------------------------------------------------------
 
-def _expand_body(nwin, has_w, fill,
+def _expand_body(nwin, mul_kind, fill,
                  wr_ref, slot_ref, lane_ref, ev_ref, w_ref, x_ref,
                  out_ref, tbl):
     lane32 = lane_ref[:, :].astype(jnp.int32)
@@ -51,24 +51,30 @@ def _expand_body(nwin, has_w, fill,
         g = jnp.take_along_axis(tbl[:, :], lane32, axis=1)
         acc = jnp.where(slot == j, g, acc)
     ev = ev_ref[:, :] != 0
-    if has_w:
+    if mul_kind == "mul":
         acc = acc * w_ref[:, :]
+    elif mul_kind == "add_sat":
+        # min-plus ⊗: guard the INF sentinel (reference: sssp.h:49-56)
+        acc = jnp.where(acc >= jnp.asarray(fill, acc.dtype),
+                        jnp.asarray(fill, acc.dtype), acc + w_ref[:, :])
     out_ref[:, :] = jnp.where(ev, acc, jnp.asarray(fill, out_ref.dtype))
 
 
 def expand_stream(x2d, win_rows, slot, lane, evalid, weights, fill,
-                  interpret=False):
+                  mul_kind=None, interpret=False):
     """Run the expand kernel.
 
-    x2d: (Sx, 128) f32 resident; win_rows: (out_rows, NWIN) int32;
+    x2d: (Sx, 128) resident table; win_rows: (out_rows, NWIN) int32;
     slot/lane: (out_rows, 128) int8; evalid: (out_rows, 128) int8;
-    weights: (out_rows, 128) f32 or None.
-    Returns contrib (out_rows, 128) f32.
+    weights: (out_rows, 128) or None. mul_kind: None | 'mul' | 'add_sat'.
+    Returns contrib (out_rows, 128).
     """
     out_rows, nwin = win_rows.shape
     nsteps = out_rows // SUB
     has_w = weights is not None
-    kern = functools.partial(_expand_body, nwin, has_w, fill)
+    if mul_kind is None:
+        mul_kind = "mul" if has_w else "none"
+    kern = functools.partial(_expand_body, nwin, mul_kind, fill)
     in_specs = [
         pl.BlockSpec((SUB, nwin), lambda i: (i, 0)),
         pl.BlockSpec((SUB, LANES), lambda i: (i, 0)),
@@ -98,7 +104,7 @@ def expand_stream(x2d, win_rows, slot, lane, evalid, weights, fill,
 # --------------------------------------------------------------------------
 
 def _group_body(npasses, rows_per_super, rchunk, smax,
-                in_ref, dst_ref, idx_ref, msk_ref, out_ref, A, B):
+                in_ref, dst_ref, idx_ref, out_ref, A, B):
     s = pl.program_id(0)
     stage = pl.program_id(1)   # 0 = load, 1..npasses = route, npasses+1 = store
     rc = pl.program_id(2)
@@ -117,12 +123,10 @@ def _group_body(npasses, rows_per_super, rchunk, smax,
 
                 @pl.when(d >= 0)
                 def _():
-                    idx = idx_ref[0, 0, k,
-                                  j * LANES:(j + 1) * LANES].astype(
-                        jnp.int32).reshape(1, LANES)
-                    m = msk_ref[0, 0, k,
-                                j * LANES:(j + 1) * LANES].reshape(
-                        1, LANES) != 0
+                    raw = idx_ref[0, 0, k,
+                                  j * LANES:(j + 1) * LANES].reshape(1, LANES)
+                    m = raw >= 0
+                    idx = jnp.maximum(raw, 0).astype(jnp.int32)
                     # ping-pong: odd stages A->B, even stages B->A
                     def rmw(src, dstbuf):
                         row = src[pl.ds(r, 1), :]
@@ -148,13 +152,14 @@ def _group_body(npasses, rows_per_super, rchunk, smax,
             out_ref[:, :] = A[pl.ds(rc * rchunk, rchunk), :]
 
 
-def group_stream(contrib, frag_dst, frag_idx, frag_mask,
+def group_stream(contrib, frag_dst, frag_idx,
                  rows_per_super: int, npasses: int, rchunk: int = 64,
                  interpret=False):
     """Regroup the contribution stream (see GroupPlan).
 
     contrib: (total_rows, 128); frag_dst: (nsupers, npasses, rows, SMAX)
-    int32; frag_idx/mask: (..., 128) int8. Returns the regrouped stream,
+    int32; frag_idx: (..., SMAX*128) int8, -1 = unwritten lane. Returns
+    the regrouped stream,
     same shape (holes contain garbage — mask with the reduce plan's
     evalid).
     """
@@ -181,7 +186,6 @@ def group_stream(contrib, frag_dst, frag_idx, frag_mask,
             pl.BlockSpec((rchunk, LANES), in_map),
             pl.BlockSpec((1, 1, rchunk, smax), plan_map),
             pl.BlockSpec((1, 1, rchunk, smax * LANES), plan_map),
-            pl.BlockSpec((1, 1, rchunk, smax * LANES), plan_map),
         ],
         out_specs=pl.BlockSpec((rchunk, LANES),
                                lambda s, p, rc: (s * nrc + rc, 0)),
@@ -191,7 +195,7 @@ def group_stream(contrib, frag_dst, frag_idx, frag_mask,
             pltpu.VMEM((rows_per_super, LANES), contrib.dtype),
         ],
         interpret=interpret,
-    )(contrib, frag_dst, frag_idx, frag_mask)
+    )(contrib, frag_dst, frag_idx)
 
 
 # --------------------------------------------------------------------------

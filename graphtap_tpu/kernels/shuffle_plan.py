@@ -10,24 +10,25 @@ known at ingest. This module converts those static index patterns into
 well: lane crossbars (take_along_axis → tpu.dynamic_gather), masked
 merges, dynamic single-row VMEM reads/writes, and streaming block I/O.
 
+Edge order (chosen here, fully static): **(row-super, column, row)**.
+Row-supers are contiguous 128-aligned row ranges balanced by edge count
+to fit one VMEM buffer. Within a super, edges are column-sorted so the
+x-side is local, while the y-side disorder is confined to the super's own
+row blocks (~100-200 of them) — which is what keeps the radix pass count
+at 3 and the alignment padding small.
+
 Pipeline (per device, per superstep):
-  expand  — x (VMEM-resident) → per-edge contributions, edges sorted by
-            column; each (8,128) output block reads ≤ 8·NWIN x-rows and
-            lane-shuffles them into place (duplication is free: the
-            crossbar is a gather).
-  group   — stable radix-8 passes regrouping contributions by destination
-            128-row block, entirely in VMEM within "supers" (fixed-stride
-            VMEM-sized stream slices). Hole elements injected here pad
-            every row block's run to reduce-chunk alignment.
+  expand  — x (VMEM-resident) → per-edge contributions in the static
+            stream order; each 128-edge row reads one NWIN-row-aligned
+            window of x and lane-shuffles values into place (hub
+            duplication free: the crossbar is a gather).
+  group   — stable radix-8 passes per super regroup contributions by
+            destination 128-row block; alignment holes injected so every
+            reduce chunk targets a single block.
   reduce  — blocked one-hot ⊕-fold of the grouped stream.
 
-The planner simulates the passes in NumPy; the simulated final layout IS
-the reduce plan. Everything is per-device; the engine stacks plans over
-devices for shard_map.
-
-Stream layout: the column-sorted edge stream is padded so that super s
-occupies rows [s*rows_per_super, (s+1)*rows_per_super) exactly; unused
-rows/lanes are invalid (ev_x = 0) and flow through as holes.
+The planner simulates the radix passes in NumPy; the simulated final
+layout IS the reduce plan.
 """
 
 from __future__ import annotations
@@ -47,130 +48,92 @@ RADIX = 1 << RADIX_BITS
 @dataclass
 class SpmvPlan:
     """Complete static plan for one device's SpMV."""
-    NC: int                  # x length (local col space)
-    NR: int                  # compact row space
-    nblocks: int             # ceil(NR / 128)
+    NC: int
+    NR: int
+    nblocks: int
     n_edges: int
     # --- expand ---
     NWIN: int
     total_rows: int          # nsupers * rows_per_super
-    win_rows: np.ndarray     # (total_rows, NWIN) int32
+    win_rows: np.ndarray     # (total_rows, NWIN) int32 (window base rows)
     slot: np.ndarray         # (total_rows, 128) int8
     lane: np.ndarray         # (total_rows, 128) int8
     ev_x: np.ndarray         # (total_rows, 128) int8
-    w_stream: Optional[np.ndarray]  # (total_rows, 128) value dtype
+    w_stream: Optional[np.ndarray]
     # --- group ---
     rows_per_super: int
     nsupers: int
     npasses: int
     SMAX: int
-    frag_dst: np.ndarray     # (nsupers, npasses, rps, SMAX) int32
-    frag_idx: np.ndarray     # (nsupers, npasses, rps, SMAX*128) int8
-    frag_mask: np.ndarray    # (nsupers, npasses, rps, SMAX*128) int8
+    frag_dst: np.ndarray
+    frag_idx: np.ndarray     # int8; -1 = lane not written (mask)
     # --- reduce ---
-    chunk_block: np.ndarray  # (total_rows/RED_ROWS,) int32
-    lr: np.ndarray           # (total_rows, 128) int8
-    ev_r: np.ndarray         # (total_rows, 128) int8
-    # simulated final source (stream position per grouped slot, -1 hole);
-    # kept for testing
-    final_src: np.ndarray    # (total_rows*128,) int64
+    chunk_block: np.ndarray
+    lr: np.ndarray
+    ev_r: np.ndarray
+    final_src: np.ndarray    # simulated grouped layout (for tests)
+
+    @property
+    def pad_factor(self) -> float:
+        return self.total_rows * LANES / max(1, self.n_edges)
 
 
-def _plan_expand_rows(cols: np.ndarray, nwin: int):
-    """Pack column-sorted edges into 128-wide rows with ≤ nwin distinct
-    x-row windows each. Returns per-row lists + perm (edge -> flat
-    position in the unpadded row sequence)."""
-    E = cols.size
-    xrow = cols // LANES
-    xlane = (cols % LANES).astype(np.int8)
-
-    change = np.flatnonzero(np.diff(xrow)) + 1
-    starts = np.concatenate([[0], change]).astype(np.int64)
-    ends = np.concatenate([change, [E]]).astype(np.int64)
-    run_rows = xrow[starts]
-
-    win_rows_l: List[np.ndarray] = []
-    slot_l, lane_l, ev_l = [], [], []
-    perm = np.empty(E, dtype=np.int64)
-
-    cur_wins: List[int] = []
-    cur_n = 0
-    cur_slot = np.zeros(LANES, dtype=np.int8)
-    cur_lane = np.zeros(LANES, dtype=np.int8)
-    cur_ev = np.zeros(LANES, dtype=bool)
-
-    def flush():
-        nonlocal cur_wins, cur_n, cur_slot, cur_lane, cur_ev
-        w = np.zeros(nwin, dtype=np.int32)
-        w[:len(cur_wins)] = cur_wins
-        win_rows_l.append(w)
-        slot_l.append(cur_slot)
-        lane_l.append(cur_lane)
-        ev_l.append(cur_ev)
-        cur_wins = []
-        cur_n = 0
-        cur_slot = np.zeros(LANES, dtype=np.int8)
-        cur_lane = np.zeros(LANES, dtype=np.int8)
-        cur_ev = np.zeros(LANES, dtype=bool)
-
-    for rr, s, e in zip(run_rows, starts, ends):
-        off = int(s)
-        while off < e:
-            if cur_n == LANES or (int(rr) not in cur_wins and
-                                  len(cur_wins) == nwin):
-                flush()
-            if int(rr) not in cur_wins:
-                cur_wins.append(int(rr))
-            j = cur_wins.index(int(rr))
-            take = int(min(e - off, LANES - cur_n))
-            sl = slice(cur_n, cur_n + take)
-            cur_slot[sl] = j
-            cur_lane[sl] = xlane[off:off + take]
-            cur_ev[sl] = True
-            perm[off:off + take] = (len(win_rows_l) * LANES +
-                                    np.arange(cur_n, cur_n + take))
-            cur_n += take
-            off += take
-    if cur_n or not win_rows_l:
-        flush()
-
-    return (np.stack(win_rows_l), np.stack(slot_l), np.stack(lane_l),
-            np.stack(ev_l), perm)
+@dataclass
+class MonotoneExpandPlan:
+    """Expand a compact vector to dense through a monotone index map (the
+    TCSC renumbering inverse). Each dense (row of 128) reads ≤ 2 compact
+    rows — reuses the expand kernel with NWIN=2."""
+    out_rows: int
+    win_rows: np.ndarray    # (out_rows, 2) int32
+    slot: np.ndarray
+    lane: np.ndarray
+    ev: np.ndarray
 
 
-def _pack_supers(blk_rows: np.ndarray, cap_el: int):
-    """Greedy packing of expand rows into supers so that each super's
-    content, padded per block to reduce-chunk multiples, fits cap_el.
+def plan_monotone_expand(iv_dense: np.ndarray) -> MonotoneExpandPlan:
+    n = iv_dense.size
+    out_rows = -(-n // LANES)
+    ivp = np.full(out_rows * LANES, -1, dtype=np.int64)
+    ivp[:n] = iv_dense
+    ivp2 = ivp.reshape(out_rows, LANES)
+    valid = ivp2 >= 0
+    ivc = np.where(valid, ivp2, np.int64(1 << 60))
+    base = np.where(valid.any(axis=1), ivc.min(axis=1) // LANES, 0)
+    rel = np.where(valid, ivp2 - base[:, None] * LANES, 0)
+    slot = (rel // LANES).astype(np.int8)
+    lane = (rel % LANES).astype(np.int8)
+    assert (rel[valid] < 2 * LANES).all(), "monotone span exceeds 2 windows"
+    win = np.stack([base, base + 1], axis=1).astype(np.int32)
+    return MonotoneExpandPlan(out_rows=out_rows, win_rows=win,
+                              slot=slot, lane=lane,
+                              ev=valid.astype(np.int8))
 
-    blk_rows: (nrows, 128) int64 block ids (-1 invalid). Returns list of
-    (row_lo, row_hi)."""
-    nrows = blk_rows.shape[0]
-    chunk_el = RED_ROWS * LANES
-    supers = []
-    r0 = 0
-    while r0 < nrows:
-        counts: dict = {}
-        padded = 0
-        r = r0
-        while r < nrows:
-            row = blk_rows[r]
-            v = row >= 0
-            trial = dict(counts)
-            if v.any():
-                for b, c in zip(*np.unique(row[v], return_counts=True)):
-                    trial[int(b)] = trial.get(int(b), 0) + int(c)
-            trial_padded = sum(-(-c // chunk_el) * chunk_el
-                               for c in trial.values())
-            if trial_padded > cap_el:
-                if r == r0:
-                    raise ValueError("one expand row exceeds super capacity")
-                break
-            counts = trial
-            padded = trial_padded
-            r += 1
-        supers.append((r0, r))
-        r0 = r
-    return supers
+
+def _super_boundaries(rows_sorted: np.ndarray, NR: int, e_cap: int):
+    """Split the (row-sorted) edge stream into supers owning disjoint
+    128-aligned row ranges with ≤ e_cap edges each."""
+    E = rows_sorted.size
+    bounds = [0]
+    row_bounds = [0]
+    pos = 0
+    while pos < E:
+        hi = min(E, pos + e_cap)
+        if hi == E:
+            row_hi = NR
+        else:
+            # cut at a block boundary at or below rows_sorted[hi]
+            row_hi = int(rows_sorted[hi] // LANES) * LANES
+            if row_hi <= row_bounds[-1]:
+                # a single block has more than e_cap edges; give it its
+                # own super (may exceed cap — caller sizes cap with slack)
+                row_hi = row_bounds[-1] + LANES
+        pos = int(np.searchsorted(rows_sorted, row_hi, side="left"))
+        bounds.append(pos)
+        row_bounds.append(row_hi)
+        if row_hi >= NR and pos < E:
+            bounds[-1] = E
+            pos = E
+    return bounds, row_bounds
 
 
 def build_spmv_plan(rows: np.ndarray, cols: np.ndarray,
@@ -179,115 +142,168 @@ def build_spmv_plan(rows: np.ndarray, cols: np.ndarray,
                     nwin: int = 8,
                     rows_per_super: int = 4096,
                     smax_cap: int = 32,
-                    value_dtype=np.float32) -> SpmvPlan:
+                    value_dtype=np.float32,
+                    force_npasses: Optional[int] = None) -> SpmvPlan:
     """Build the full static plan from (compact-row, local-col) edges."""
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
-    E = rows.size
-    order = np.lexsort((rows, cols))
+    for factor in (0.75, 0.55, 0.35, 0.2, 0.1):
+        try:
+            return _build_spmv_plan(rows, cols, weights, NR, NC, nwin,
+                                    rows_per_super, smax_cap, value_dtype,
+                                    factor, force_npasses)
+        except ValueError as e:
+            last = e
+    raise last
+
+
+def _build_spmv_plan(rows, cols, weights, NR, NC, nwin, rows_per_super,
+                     smax_cap, value_dtype, cap_factor, force_npasses=None):
+    E = int(rows.size)
+    nblocks = max(1, -(-NR // LANES))
+    rps = rows_per_super
+    cap_el = rps * LANES
+    chunk_el = RED_ROWS * LANES
+
+    # ---- choose the static edge order: (row_super, col, row) ----
+    order0 = np.argsort(rows, kind="stable")
+    r0 = rows[order0]
+    # edge cap per super: leave room for window-group and block padding
+    e_cap = max(LANES, int(rps * cap_factor) * LANES)
+    bounds, row_bounds = _super_boundaries(r0, NR, e_cap)
+    if len(bounds) < 2:
+        bounds, row_bounds = [0, E], [0, NR]
+    nsupers = len(bounds) - 1
+    sup_of_edge = np.zeros(E, dtype=np.int64)
+    for s in range(nsupers):
+        sup_of_edge[order0[bounds[s]:bounds[s + 1]]] = s
+
+    order = np.lexsort((rows, cols, sup_of_edge))
     r_s = rows[order]
     c_s = cols[order]
     w_s = np.asarray(weights)[order] if weights is not None else None
+    sup_s = sup_of_edge[order]
 
-    winr_u, slot_u, lane_u, ev_u, perm_u = _plan_expand_rows(c_s, nwin)
-    nrows_u = winr_u.shape[0]
+    # ---- expand layout: per (super, window group) runs padded to rows --
+    xrow = c_s // LANES
+    grp = xrow // nwin
+    # run id changes when (super, grp) changes
+    if E:
+        chg = np.concatenate([[True], (sup_s[1:] != sup_s[:-1]) |
+                              (grp[1:] != grp[:-1])])
+    else:
+        chg = np.zeros(0, dtype=bool)
+    run_id = np.cumsum(chg) - 1 if E else np.zeros(0, np.int64)
+    nruns = int(run_id[-1]) + 1 if E else 0
+    run_start = np.flatnonzero(chg) if E else np.zeros(0, np.int64)
+    run_len = np.diff(np.concatenate([run_start, [E]])) if E else run_start
+    run_sup = sup_s[run_start] if E else run_start
+    run_grp = grp[run_start] if E else run_start
+    run_rows = -(-run_len // LANES)
 
-    # destination info per unpadded stream position
-    blk_u = np.full(nrows_u * LANES, -1, dtype=np.int64)
-    lr_u = np.zeros(nrows_u * LANES, dtype=np.int64)
-    blk_u[perm_u] = r_s // LANES
-    lr_u[perm_u] = r_s % LANES
+    # rows used per super
+    rows_used = np.zeros(nsupers, dtype=np.int64)
+    np.add.at(rows_used, run_sup, run_rows)
+    if (rows_used > rps).any():
+        raise ValueError("super row overflow; increase rows_per_super")
 
-    cap_el = rows_per_super * LANES
-    supers = _pack_supers(blk_u.reshape(nrows_u, LANES), cap_el)
-    nsupers = len(supers)
-    rps = rows_per_super
+    # row offset of each run within its super (prefix over runs per super)
+    run_row_off = np.zeros(nruns, dtype=np.int64)
+    acc = np.cumsum(run_rows)
+    sup_first_run = np.flatnonzero(np.concatenate(
+        [[True], run_sup[1:] != run_sup[:-1]])) if nruns else np.zeros(0, np.int64)
+    base_acc = np.zeros(nruns, dtype=np.int64)
+    if nruns:
+        start_acc = np.concatenate([[0], acc[:-1]])
+        sup_base = start_acc[sup_first_run]
+        base_acc = np.repeat(sup_base, np.diff(
+            np.concatenate([sup_first_run, [nruns]])))
+        run_row_off = start_acc - base_acc
+
     total_rows = nsupers * rps
     n_tot = total_rows * LANES
 
-    # --- padded stream layout: super s rows at [s*rps, s*rps + (hi-lo)) ---
+    # global stream position of each edge
+    pos_in_run = np.arange(E) - run_start[run_id] if E else np.zeros(0, np.int64)
+    row_global = (run_sup[run_id] * rps + run_row_off[run_id] +
+                  pos_in_run // LANES) if E else np.zeros(0, np.int64)
+    pos = row_global * LANES + pos_in_run % LANES
+
+    # expand arrays
     win_rows = np.zeros((total_rows, nwin), dtype=np.int32)
     slot = np.zeros((total_rows, LANES), dtype=np.int8)
     lane = np.zeros((total_rows, LANES), dtype=np.int8)
     ev_x = np.zeros((total_rows, LANES), dtype=np.int8)
     w_stream = (np.zeros((total_rows, LANES), dtype=value_dtype)
                 if w_s is not None else None)
+
+    rowp = pos // LANES
+    lanep = pos % LANES
+    slot[rowp, lanep] = (xrow % nwin).astype(np.int8)
+    lane[rowp, lanep] = (c_s % LANES).astype(np.int8)
+    ev_x[rowp, lanep] = 1
+    if w_stream is not None:
+        w_stream[rowp, lanep] = w_s
+    # window base rows: rows of run r get bases grp*nwin + j
+    if nruns:
+        row_of_run_rows = np.repeat(run_sup * rps + run_row_off, run_rows) + \
+            _concat_aranges(run_rows)
+        bases = np.repeat(run_grp * nwin, run_rows).astype(np.int64)
+        Sx = -(-NC // LANES)
+        for j in range(nwin):
+            win_rows[row_of_run_rows, j] = np.minimum(bases + j, Sx - 1)
+
+    # per-position destination info
     blk_p = np.full(n_tot, -1, dtype=np.int64)
     lr_p = np.zeros(n_tot, dtype=np.int64)
-    row_map = np.full(nrows_u, -1, dtype=np.int64)
-    for si, (lo, hi) in enumerate(supers):
-        dst0 = si * rps
-        n = hi - lo
-        row_map[lo:hi] = np.arange(dst0, dst0 + n)
-        win_rows[dst0:dst0 + n] = winr_u[lo:hi]
-        slot[dst0:dst0 + n] = slot_u[lo:hi]
-        lane[dst0:dst0 + n] = lane_u[lo:hi]
-        ev_x[dst0:dst0 + n] = ev_u[lo:hi]
-        blk_p[dst0 * LANES:(dst0 + n) * LANES] = \
-            blk_u[lo * LANES:hi * LANES]
-        lr_p[dst0 * LANES:(dst0 + n) * LANES] = lr_u[lo * LANES:hi * LANES]
-    if w_stream is not None:
-        w_flat = np.zeros(n_tot, dtype=value_dtype)
-        pos_p = row_map[perm_u // LANES] * LANES + perm_u % LANES
-        w_flat[pos_p] = w_s
-        w_stream = w_flat.reshape(total_rows, LANES)
+    blk_p[pos] = r_s // LANES
+    lr_p[pos] = r_s % LANES
 
-    nblocks = -(-NR // LANES)
-    # radix passes: enough bits for the largest per-super block-rank space
-    max_ranks = 2
-    for si, (lo, hi) in enumerate(supers):
-        seg = blk_p[si * rps * LANES:(si * rps + (hi - lo)) * LANES]
-        nb = np.unique(seg[seg >= 0]).size
-        max_ranks = max(max_ranks, nb + 1)
-    nbits = int(np.ceil(np.log2(max_ranks)))
-    npasses = max(1, -(-nbits // RADIX_BITS))
+    # ---- radix grouping per super (vectorized per super) ----
+    npasses_needed = 1
+    sup_blocks: List[np.ndarray] = []
+    for s in range(nsupers):
+        seg = blk_p[s * cap_el:(s + 1) * cap_el]
+        b = np.unique(seg[seg >= 0])
+        sup_blocks.append(b)
+        bits = int(np.ceil(np.log2(max(2, b.size + 1))))
+        npasses_needed = max(npasses_needed, -(-bits // RADIX_BITS))
+    npasses = max(npasses_needed, force_npasses or 1)
 
     frag_dst = np.full((nsupers, npasses, rps, smax_cap), -1, dtype=np.int32)
-    frag_idx = np.zeros((nsupers, npasses, rps, smax_cap * LANES),
-                        dtype=np.int8)
-    frag_mask = np.zeros((nsupers, npasses, rps, smax_cap * LANES),
-                         dtype=np.int8)
+    frag_idx = np.full((nsupers, npasses, rps, smax_cap * LANES), -1,
+                       dtype=np.int8)
+    smax_used = 1
     chunk_block = np.zeros(total_rows // RED_ROWS, dtype=np.int32)
     lr_out = np.zeros((total_rows, LANES), dtype=np.int8)
     ev_r = np.zeros((total_rows, LANES), dtype=np.int8)
     final_src = np.full(n_tot, -1, dtype=np.int64)
 
-    chunk_el = RED_ROWS * LANES
-    for si in range(nsupers):
-        base = si * cap_el
+    for s in range(nsupers):
+        base = s * cap_el
         seg_blk = blk_p[base:base + cap_el]
         valid0 = seg_blk >= 0
-        blocks_sorted = np.unique(seg_blk[valid0])
+        blocks_sorted = sup_blocks[s]
         hole_key = blocks_sorted.size
 
         key = np.full(cap_el, hole_key, dtype=np.int64)
-        key[valid0] = np.searchsorted(blocks_sorted, seg_blk[valid0])
+        if valid0.any():
+            key[valid0] = np.searchsorted(blocks_sorted, seg_blk[valid0])
         src = np.where(valid0, np.arange(base, base + cap_el), -1)
 
-        # alignment holes: give trailing invalid slots block keys so each
-        # block's run pads to a chunk multiple (stable sort puts them
-        # after the real elements of the same key)
-        counts = np.bincount(key[valid0], minlength=hole_key)
+        counts = np.bincount(key[valid0], minlength=hole_key) \
+            if valid0.any() else np.zeros(hole_key, np.int64)
         pads = (-(-counts // chunk_el)) * chunk_el - counts
         pad_keys = np.repeat(np.arange(hole_key), pads)
         free = np.flatnonzero(~valid0)
-        assert pad_keys.size <= free.size, "super capacity overflow"
+        if pad_keys.size > free.size:
+            raise ValueError("super capacity overflow (alignment pads)")
         key[free[:pad_keys.size]] = pad_keys
-        # note: padded-hole src stays -1: they reserve layout slots only.
-        # stability caveat: pad holes must sort AFTER real elements of the
-        # same block. Real elements of block b all precede free slots?
-        # Not necessarily (invalid lanes interleave). Handle by sorting on
-        # (key, is_hole, position):
-        is_hole = src < 0
 
-        cur_src = src
-        cur_key = key
-        cur_hole = is_hole
+        cur_src, cur_key = src, key
+        cur_hole = src < 0
         for p in range(npasses):
             digit = (cur_key >> (p * RADIX_BITS)) & (RADIX - 1)
-            # stable sort with holes of equal digit AFTER real elements is
-            # not required for correctness (holes are indistinguishable),
-            # plain stable sort on digit suffices.
             order2 = np.argsort(digit, kind="stable")
             dest = np.empty(cap_el, dtype=np.int64)
             dest[order2] = np.arange(cap_el)
@@ -308,17 +324,17 @@ def build_spmv_plan(rows: np.ndarray, cols: np.ndarray,
                 frow = srow[o3][newf]
                 jseq = np.arange(nfrag)
                 row_change = np.concatenate([[True], frow[1:] != frow[:-1]])
-                row_start = jseq[row_change]
-                jj = jseq - np.repeat(row_start, np.diff(
-                    np.concatenate([np.flatnonzero(row_change), [nfrag]])))
-                if jj.max() + 1 > smax_cap:
+                starts_f = np.flatnonzero(row_change)
+                jj = jseq - np.repeat(jseq[starts_f], np.diff(
+                    np.concatenate([starts_f, [nfrag]])))
+                if int(jj.max()) + 1 > smax_cap:
                     raise ValueError(
                         f"SMAX overflow: {int(jj.max()) + 1} > {smax_cap}")
-                frag_dst[si, p, frow, jj] = drow[o3][newf].astype(np.int32)
+                smax_used = max(smax_used, int(jj.max()) + 1)
+                frag_dst[s, p, frow, jj] = drow[o3][newf].astype(np.int32)
                 j_of = jj[fid]
-                frag_idx[si, p, srow[o3], j_of * LANES + dlane[o3]] = \
+                frag_idx[s, p, srow[o3], j_of * LANES + dlane[o3]] = \
                     slane[o3].astype(np.int8)
-                frag_mask[si, p, srow[o3], j_of * LANES + dlane[o3]] = 1
 
             nsrc = np.full(cap_el, -1, dtype=np.int64)
             nkey = np.zeros(cap_el, dtype=np.int64)
@@ -331,17 +347,17 @@ def build_spmv_plan(rows: np.ndarray, cols: np.ndarray,
         fv = ~cur_hole
         final_src[base:base + cap_el] = np.where(fv, cur_src, -1)
         lrv = np.where(fv, lr_p[np.where(fv, cur_src, 0)], 0)
-        r0 = si * rps
-        lr_out[r0:r0 + rps] = lrv.reshape(rps, LANES).astype(np.int8)
-        ev_r[r0:r0 + rps] = fv.reshape(rps, LANES).astype(np.int8)
+        r0_ = s * rps
+        lr_out[r0_:r0_ + rps] = lrv.reshape(rps, LANES).astype(np.int8)
+        ev_r[r0_:r0_ + rps] = fv.reshape(rps, LANES).astype(np.int8)
         blk_final = np.full(cap_el, -1, dtype=np.int64)
         blk_final[fv] = blk_p[cur_src[fv]]
         bc = blk_final.reshape(-1, chunk_el)
-        ch0 = r0 // RED_ROWS
+        ch0 = r0_ // RED_ROWS
+        vm = (bc >= 0)
         for ci in range(bc.shape[0]):
-            present = bc[ci][bc[ci] >= 0]
-            if present.size:
-                u = np.unique(present)
+            if vm[ci].any():
+                u = np.unique(bc[ci][vm[ci]])
                 assert u.size == 1, f"reduce chunk spans blocks {u}"
                 chunk_block[ch0 + ci] = u[0]
 
@@ -351,7 +367,17 @@ def build_spmv_plan(rows: np.ndarray, cols: np.ndarray,
         win_rows=win_rows, slot=slot, lane=lane, ev_x=ev_x,
         w_stream=w_stream,
         rows_per_super=rps, nsupers=nsupers, npasses=npasses,
-        SMAX=smax_cap, frag_dst=frag_dst, frag_idx=frag_idx,
-        frag_mask=frag_mask,
+        SMAX=smax_used,
+        frag_dst=frag_dst[:, :, :, :smax_used].copy(),
+        frag_idx=frag_idx[:, :, :, :smax_used * LANES].copy(),
         chunk_block=chunk_block, lr=lr_out, ev_r=ev_r,
         final_src=final_src)
+
+
+def _concat_aranges(lengths: np.ndarray) -> np.ndarray:
+    """[arange(l) for l in lengths] concatenated, vectorized."""
+    total = int(lengths.sum())
+    out = np.arange(total, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    out -= np.repeat(starts, lengths)
+    return out

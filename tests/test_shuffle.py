@@ -51,7 +51,7 @@ def _run_pipeline(plan, x, w, kind, identity):
         interpret=True)
     grouped = group_stream(
         contrib, jnp.asarray(plan.frag_dst), jnp.asarray(plan.frag_idx),
-        jnp.asarray(plan.frag_mask), plan.rows_per_super, plan.npasses,
+        plan.rows_per_super, plan.npasses,
         rchunk=min(64, plan.rows_per_super), interpret=True)
     y = grouped_reduce(
         grouped, jnp.asarray(plan.lr), jnp.asarray(plan.ev_r),
