@@ -92,13 +92,15 @@ def build_shuffle_plans(tiles: TileSet, value_dtype=np.float32,
         return out
 
     has_w = tiles.weights is not None
-    arrs = {k: [] for k in ("win_rows", "slot", "lane", "ev_x", "w_stream",
+    arrs = {k: [] for k in ("grp", "slot", "lane", "ev_x", "w_stream",
                             "frag_dst", "frag_idx", "chunk_block", "lr",
-                            "ev_r", "mexp_win", "mexp_slot", "mexp_lane",
-                            "mexp_ev")}
+                            "ev_r", "mexp_grp_a", "mexp_grp_b",
+                            "mexp_slot_a", "mexp_slot_b", "mexp_lane",
+                            "mexp_ev_a", "mexp_ev_b")}
     mexp_rows = part.tile_rows // LANES
+    from graphtap_tpu.kernels.shuffle_plan import SUB
     for b, p in enumerate(plans):
-        arrs["win_rows"].append(pad_to(p.win_rows, (total_rows, nwin), 0))
+        arrs["grp"].append(pad_to(p.grp, (total_rows // SUB,), 0))
         arrs["slot"].append(pad_to(p.slot, (total_rows, LANES), 0))
         arrs["lane"].append(pad_to(p.lane, (total_rows, LANES), 0))
         arrs["ev_x"].append(pad_to(p.ev_x, (total_rows, LANES), 0))
@@ -114,10 +116,14 @@ def build_shuffle_plans(tiles: TileSet, value_dtype=np.float32,
         arrs["lr"].append(pad_to(p.lr, (total_rows, LANES), 0))
         arrs["ev_r"].append(pad_to(p.ev_r, (total_rows, LANES), 0))
         mp = plan_monotone_expand(tiles.iv_dense[b].astype(np.int64))
-        arrs["mexp_win"].append(mp.win_rows)
-        arrs["mexp_slot"].append(mp.slot)
+        arrs["mexp_grp_a"].append(mp.grp_a)
+        arrs["mexp_grp_b"].append(mp.grp_b)
+        arrs["mexp_slot_a"].append(mp.slot_a)
+        arrs["mexp_slot_b"].append(mp.slot_b)
         arrs["mexp_lane"].append(mp.lane)
-        arrs["mexp_ev"].append(mp.ev)
+        arrs["mexp_ev_a"].append(mp.ev_a)
+        arrs["mexp_ev_b"].append(mp.ev_b)
+        mexp_rows = mp.out_rows
     if not has_w:
         del arrs["w_stream"]
     arrays = {k: np.stack(v) for k, v in arrs.items()}
@@ -134,14 +140,20 @@ def spmv_local(x, t: Dict, meta: ShufflePlans, semiring: Semiring,
 
     ``t`` holds the LOCAL plan slices (leading device axis already
     dropped)."""
+    from graphtap_tpu.kernels.shuffle_plan import SUB
     fill = semiring.identity
     if semiring.reduce_kind == "sum":
         mul_kind = "mul" if meta.has_w else "none"
     else:
         mul_kind = "add_sat" if meta.has_w else "none"
-    x2d = x.reshape(-1, LANES)
+    win = SUB * LANES
+    sx3 = -(-x.shape[0] // win)
+    xp = jnp.concatenate(
+        [x, jnp.full((sx3 * win - x.shape[0],), fill, x.dtype)]) \
+        if sx3 * win != x.shape[0] else x
+    x3d = xp.reshape(sx3, SUB, LANES)
     contrib = expand_stream(
-        x2d, t["win_rows"], t["slot"], t["lane"], t["ev_x"],
+        x3d, t["grp"], t["slot"], t["lane"], t["ev_x"],
         t.get("w_stream"), fill, mul_kind=mul_kind, interpret=interpret)
     grouped = group_stream(
         contrib, t["frag_dst"], t["frag_idx"],
@@ -150,11 +162,18 @@ def spmv_local(x, t: Dict, meta: ShufflePlans, semiring: Semiring,
         grouped, t["lr"], t["ev_r"], t["chunk_block"], meta.nblocks,
         semiring.reduce_kind, fill, rows_per_chunk=RED_ROWS,
         interpret=interpret)
-    # compact -> dense row block via the monotone-expand kernel; pad the
-    # table by one row so window base+1 stays in bounds
+    # compact -> dense row block: two monotone-expand passes (each
+    # 8-dense-row step reads at most two 1024-entry windows)
+    yflat = y_blocks.reshape(-1)
+    ntab = -(-yflat.shape[0] // win) + 1
     ytab = jnp.concatenate(
-        [y_blocks, jnp.full((1, LANES), fill, dtype=y_blocks.dtype)], axis=0)
-    y_dense = expand_stream(
-        ytab, t["mexp_win"], t["mexp_slot"], t["mexp_lane"], t["mexp_ev"],
-        None, fill, mul_kind="none", interpret=interpret)
+        [yflat, jnp.full((ntab * win - yflat.shape[0],), fill,
+                         yflat.dtype)]).reshape(ntab, SUB, LANES)
+    ya = expand_stream(ytab, t["mexp_grp_a"], t["mexp_slot_a"],
+                       t["mexp_lane"], t["mexp_ev_a"], None, fill,
+                       mul_kind="none", interpret=interpret)
+    yb = expand_stream(ytab, t["mexp_grp_b"], t["mexp_slot_b"],
+                       t["mexp_lane"], t["mexp_ev_b"], None, fill,
+                       mul_kind="none", interpret=interpret)
+    y_dense = jnp.where(t["mexp_ev_b"].astype(jnp.int32) != 0, yb, ya)
     return y_dense.reshape(-1)[:dense_len]

@@ -38,19 +38,20 @@ SUB = 8
 # expand
 # --------------------------------------------------------------------------
 
-def _expand_body(nwin, mul_kind, fill,
-                 wr_ref, slot_ref, lane_ref, ev_ref, w_ref, x_ref,
-                 out_ref, tbl):
+def _expand_body(mul_kind, fill,
+                 grp_ref, win_ref, slot_ref, lane_ref, ev_ref, w_ref,
+                 out_ref):
+    # win_ref: (1, 8, 128) — this step's 1024-column window of x, chosen
+    # by the prefetch-driven index_map. No scalar reads, no dynamic
+    # slicing: per sub-row j, broadcast window row j and lane-crossbar it.
     lane32 = lane_ref[:, :].astype(jnp.int32)
-    slot = slot_ref[:, :]
+    slot = slot_ref[:, :].astype(jnp.int32)
     acc = jnp.zeros((SUB, LANES), dtype=out_ref.dtype)
-    for j in range(nwin):
-        for i in range(SUB):
-            q = wr_ref[i, j]
-            tbl[pl.ds(i, 1), :] = x_ref[pl.ds(q, 1), :]
-        g = jnp.take_along_axis(tbl[:, :], lane32, axis=1)
+    for j in range(SUB):
+        wj = jnp.broadcast_to(win_ref[0, j:j + 1, :], (SUB, LANES))
+        g = jnp.take_along_axis(wj, lane32, axis=1)
         acc = jnp.where(slot == j, g, acc)
-    ev = ev_ref[:, :] != 0
+    ev = ev_ref[:, :].astype(jnp.int32) != 0
     if mul_kind == "mul":
         acc = acc * w_ref[:, :]
     elif mul_kind == "add_sat":
@@ -60,41 +61,43 @@ def _expand_body(nwin, mul_kind, fill,
     out_ref[:, :] = jnp.where(ev, acc, jnp.asarray(fill, out_ref.dtype))
 
 
-def expand_stream(x2d, win_rows, slot, lane, evalid, weights, fill,
+def expand_stream(x3d, grp, slot, lane, evalid, weights, fill,
                   mul_kind=None, interpret=False):
     """Run the expand kernel.
 
-    x2d: (Sx, 128) resident table; win_rows: (out_rows, NWIN) int32;
-    slot/lane: (out_rows, 128) int8; evalid: (out_rows, 128) int8;
+    x3d: (Sx3, 8, 128) table (x reshaped into 1024-column windows);
+    grp: (nsteps,) int32 window id per 8-row output step (scalar
+    prefetch); slot/lane: (out_rows, 128) int8 sub-row / lane of each
+    edge's column within its step's window; evalid: (out_rows, 128) int8;
     weights: (out_rows, 128) or None. mul_kind: None | 'mul' | 'add_sat'.
     Returns contrib (out_rows, 128).
     """
-    out_rows, nwin = win_rows.shape
+    out_rows = slot.shape[0]
     nsteps = out_rows // SUB
     has_w = weights is not None
     if mul_kind is None:
         mul_kind = "mul" if has_w else "none"
-    kern = functools.partial(_expand_body, nwin, mul_kind, fill)
-    in_specs = [
-        pl.BlockSpec((SUB, nwin), lambda i: (i, 0)),
-        pl.BlockSpec((SUB, LANES), lambda i: (i, 0)),
-        pl.BlockSpec((SUB, LANES), lambda i: (i, 0)),
-        pl.BlockSpec((SUB, LANES), lambda i: (i, 0)),
-        pl.BlockSpec((SUB, LANES), lambda i: (i, 0)),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-    ]
-    args = [win_rows, slot, lane, evalid,
-            weights if has_w else jnp.zeros((SUB, LANES), x2d.dtype),
-            x2d]
-    if not has_w:
-        in_specs[4] = pl.BlockSpec((SUB, LANES), lambda i: (0, 0))
+    kern = functools.partial(_expand_body, mul_kind, fill)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, SUB, LANES), lambda i, g: (g[i], 0, 0)),
+            pl.BlockSpec((SUB, LANES), lambda i, g: (i, 0)),
+            pl.BlockSpec((SUB, LANES), lambda i, g: (i, 0)),
+            pl.BlockSpec((SUB, LANES), lambda i, g: (i, 0)),
+            pl.BlockSpec((SUB, LANES),
+                         (lambda i, g: (i, 0)) if has_w else
+                         (lambda i, g: (0, 0))),
+        ],
+        out_specs=pl.BlockSpec((SUB, LANES), lambda i, g: (i, 0)),
+    )
+    args = [grp, x3d, slot, lane, evalid,
+            weights if has_w else jnp.zeros((SUB, LANES), x3d.dtype)]
     return pl.pallas_call(
         kern,
-        grid=(nsteps,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((SUB, LANES), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((out_rows, LANES), x2d.dtype),
-        scratch_shapes=[pltpu.VMEM((SUB, LANES), x2d.dtype)],
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_rows, LANES), x3d.dtype),
         interpret=interpret,
     )(*args)
 
@@ -115,32 +118,39 @@ def _group_body(npasses, rows_per_super, rchunk, smax,
 
     @pl.when((stage > 0) & (stage <= npasses))
     def _route():
-        # stage p: read from src buffer, write routed rows into dst buffer
-        def body(k, _):
-            r = rc * rchunk + k
-            for j in range(smax):
-                d = dst_ref[0, 0, k, j]
+        # stage p: read source vregs (8 rows at a time), crossbar all 8
+        # rows per fragment slot in one dynamic_gather, then masked-merge
+        # each routed row into its destination.
+        def body(k8, _):
+            r = rc * rchunk + k8 * SUB
 
-                @pl.when(d >= 0)
-                def _():
-                    raw = idx_ref[0, 0, k,
-                                  j * LANES:(j + 1) * LANES].reshape(1, LANES)
-                    m = raw >= 0
-                    idx = jnp.maximum(raw, 0).astype(jnp.int32)
-                    # ping-pong: odd stages A->B, even stages B->A
-                    def rmw(src, dstbuf):
-                        row = src[pl.ds(r, 1), :]
-                        g = jnp.take_along_axis(row, idx, axis=1)
-                        cur = dstbuf[pl.ds(d, 1), :]
-                        dstbuf[pl.ds(d, 1), :] = jnp.where(m, g, cur)
-                    @pl.when(stage % 2 == 1)
-                    def _():
-                        rmw(A, B)
-                    @pl.when(stage % 2 == 0)
-                    def _():
-                        rmw(B, A)
+            def route_from(src, dstbuf):
+                rows8 = src[pl.ds(r, SUB), :]                  # (8,128)
+                for j in range(smax):
+                    raw = idx_ref[0, 0,
+                                  pl.ds(k8 * SUB, SUB),
+                                  j * LANES:(j + 1) * LANES].astype(jnp.int32)
+                    m8 = raw >= 0
+                    idx8 = jnp.maximum(raw, 0)
+                    g8 = jnp.take_along_axis(rows8, idx8, axis=1)
+                    for i in range(SUB):
+                        d = dst_ref[0, 0, k8 * SUB + i, j]
+
+                        @pl.when(d >= 0)
+                        def _():
+                            cur = dstbuf[pl.ds(d, 1), :]
+                            dstbuf[pl.ds(d, 1), :] = jnp.where(
+                                m8[i:i + 1, :], g8[i:i + 1, :], cur)
+
+            @pl.when(stage % 2 == 1)
+            def _():
+                route_from(A, B)
+
+            @pl.when(stage % 2 == 0)
+            def _():
+                route_from(B, A)
             return 0
-        lax.fori_loop(0, rchunk, body, 0)
+        lax.fori_loop(0, rchunk // SUB, body, 0)
 
     @pl.when(stage == npasses + 1)
     def _store():
@@ -211,9 +221,9 @@ def _reduce_body(reduce_kind, identity, rows_per_chunk,
     def _():
         y_ref[...] = jnp.full_like(y_ref, identity)
 
-    c = c_ref[:, :].reshape(-1, 1)
-    lr = lr_ref[:, :].astype(jnp.int32).reshape(-1, 1)
-    ev = (ev_ref[:, :] != 0).reshape(-1, 1)
+    c = c_ref[:].reshape(-1, 1)
+    lr = lr_ref[:].astype(jnp.int32).reshape(-1, 1)
+    ev = ev_ref[:].astype(jnp.int32).reshape(-1, 1) != 0
     n = c.shape[0]
     lanes = lax.broadcasted_iota(jnp.int32, (n, LANES), 1)
     hit = (lr == lanes) & ev
@@ -239,15 +249,16 @@ def grouped_reduce(contrib, lr, evalid, chunk_block, nblocks: int,
     target that 128-row block.
     """
     nchunks = chunk_block.shape[0]
+    chunk_el = rows_per_chunk * LANES
     kern = functools.partial(_reduce_body, reduce_kind, identity,
                              rows_per_chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nchunks,),
         in_specs=[
-            pl.BlockSpec((rows_per_chunk, LANES), lambda i, cb: (i, 0)),
-            pl.BlockSpec((rows_per_chunk, LANES), lambda i, cb: (i, 0)),
-            pl.BlockSpec((rows_per_chunk, LANES), lambda i, cb: (i, 0)),
+            pl.BlockSpec((chunk_el,), lambda i, cb: (i,)),
+            pl.BlockSpec((chunk_el,), lambda i, cb: (i,)),
+            pl.BlockSpec((chunk_el,), lambda i, cb: (i,)),
         ],
         out_specs=pl.BlockSpec((nblocks, LANES), lambda i, cb: (0, 0)),
     )
@@ -256,4 +267,5 @@ def grouped_reduce(contrib, lr, evalid, chunk_block, nblocks: int,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nblocks, LANES), contrib.dtype),
         interpret=interpret,
-    )(chunk_block, contrib, lr, evalid)
+    )(chunk_block, contrib.reshape(-1), lr.reshape(-1),
+      evalid.reshape(-1))

@@ -55,8 +55,8 @@ class SpmvPlan:
     # --- expand ---
     NWIN: int
     total_rows: int          # nsupers * rows_per_super
-    win_rows: np.ndarray     # (total_rows, NWIN) int32 (window base rows)
-    slot: np.ndarray         # (total_rows, 128) int8
+    grp: np.ndarray          # (total_rows//8,) int32 x-window id per step
+    slot: np.ndarray         # (total_rows, 128) int8 sub-row within window
     lane: np.ndarray         # (total_rows, 128) int8
     ev_x: np.ndarray         # (total_rows, 128) int8
     w_stream: Optional[np.ndarray]
@@ -81,32 +81,45 @@ class SpmvPlan:
 @dataclass
 class MonotoneExpandPlan:
     """Expand a compact vector to dense through a monotone index map (the
-    TCSC renumbering inverse). Each dense (row of 128) reads ≤ 2 compact
-    rows — reuses the expand kernel with NWIN=2."""
+    TCSC renumbering inverse). Each 8-dense-row step reads at most two
+    1024-entry windows of the compact table — two expand passes (A, B)
+    whose results are combined by the B-validity mask."""
     out_rows: int
-    win_rows: np.ndarray    # (out_rows, 2) int32
-    slot: np.ndarray
-    lane: np.ndarray
-    ev: np.ndarray
+    grp_a: np.ndarray       # (out_rows//8,) int32
+    grp_b: np.ndarray       # (out_rows//8,) int32
+    slot_a: np.ndarray      # (out_rows, 128) int8
+    slot_b: np.ndarray
+    lane: np.ndarray        # (out_rows, 128) int8
+    ev_a: np.ndarray        # (out_rows, 128) int8
+    ev_b: np.ndarray
 
 
 def plan_monotone_expand(iv_dense: np.ndarray) -> MonotoneExpandPlan:
     n = iv_dense.size
-    out_rows = -(-n // LANES)
+    out_rows = -(-n // (LANES * SUB)) * SUB
     ivp = np.full(out_rows * LANES, -1, dtype=np.int64)
     ivp[:n] = iv_dense
-    ivp2 = ivp.reshape(out_rows, LANES)
-    valid = ivp2 >= 0
-    ivc = np.where(valid, ivp2, np.int64(1 << 60))
-    base = np.where(valid.any(axis=1), ivc.min(axis=1) // LANES, 0)
-    rel = np.where(valid, ivp2 - base[:, None] * LANES, 0)
-    slot = (rel // LANES).astype(np.int8)
-    lane = (rel % LANES).astype(np.int8)
-    assert (rel[valid] < 2 * LANES).all(), "monotone span exceeds 2 windows"
-    win = np.stack([base, base + 1], axis=1).astype(np.int32)
-    return MonotoneExpandPlan(out_rows=out_rows, win_rows=win,
-                              slot=slot, lane=lane,
-                              ev=valid.astype(np.int8))
+    iv3 = ivp.reshape(out_rows // SUB, SUB * LANES)
+    valid = iv3 >= 0
+    ivc = np.where(valid, iv3, np.int64(1 << 60))
+    win = SUB * LANES
+    base = np.where(valid.any(axis=1), ivc.min(axis=1) // win, 0)
+    rel = np.where(valid, iv3 - base[:, None] * win, 0)
+    assert (rel[valid] < 2 * win).all(), "monotone span exceeds 2 windows"
+    in_b = valid & (rel >= win)
+    in_a = valid & (rel < win)
+    rel_b = np.where(in_b, rel - win, 0)
+    slot_a = np.where(in_a, rel // LANES, 0).astype(np.int8)
+    slot_b = np.where(in_b, rel_b // LANES, 0).astype(np.int8)
+    lane = np.where(valid, rel % LANES, 0).astype(np.int8)
+
+    def r2(a):
+        return a.reshape(out_rows, LANES)
+    return MonotoneExpandPlan(
+        out_rows=out_rows,
+        grp_a=base.astype(np.int32), grp_b=(base + 1).astype(np.int32),
+        slot_a=r2(slot_a), slot_b=r2(slot_b), lane=r2(lane),
+        ev_a=r2(in_a.astype(np.int8)), ev_b=r2(in_b.astype(np.int8)))
 
 
 def _super_boundaries(rows_sorted: np.ndarray, NR: int, e_cap: int):
@@ -186,7 +199,7 @@ def _build_spmv_plan(rows, cols, weights, NR, NC, nwin, rows_per_super,
 
     # ---- expand layout: per (super, window group) runs padded to rows --
     xrow = c_s // LANES
-    grp = xrow // nwin
+    grp = xrow // SUB
     # run id changes when (super, grp) changes
     if E:
         chg = np.concatenate([[True], (sup_s[1:] != sup_s[:-1]) |
@@ -199,7 +212,7 @@ def _build_spmv_plan(rows, cols, weights, NR, NC, nwin, rows_per_super,
     run_len = np.diff(np.concatenate([run_start, [E]])) if E else run_start
     run_sup = sup_s[run_start] if E else run_start
     run_grp = grp[run_start] if E else run_start
-    run_rows = -(-run_len // LANES)
+    run_rows = (-(-run_len // LANES) + SUB - 1) // SUB * SUB
 
     # rows used per super
     rows_used = np.zeros(nsupers, dtype=np.int64)
@@ -230,7 +243,7 @@ def _build_spmv_plan(rows, cols, weights, NR, NC, nwin, rows_per_super,
     pos = row_global * LANES + pos_in_run % LANES
 
     # expand arrays
-    win_rows = np.zeros((total_rows, nwin), dtype=np.int32)
+    grp_steps = np.zeros(total_rows // SUB, dtype=np.int32)
     slot = np.zeros((total_rows, LANES), dtype=np.int8)
     lane = np.zeros((total_rows, LANES), dtype=np.int8)
     ev_x = np.zeros((total_rows, LANES), dtype=np.int8)
@@ -239,19 +252,20 @@ def _build_spmv_plan(rows, cols, weights, NR, NC, nwin, rows_per_super,
 
     rowp = pos // LANES
     lanep = pos % LANES
-    slot[rowp, lanep] = (xrow % nwin).astype(np.int8)
+    slot[rowp, lanep] = (xrow % SUB).astype(np.int8)
     lane[rowp, lanep] = (c_s % LANES).astype(np.int8)
     ev_x[rowp, lanep] = 1
     if w_stream is not None:
         w_stream[rowp, lanep] = w_s
-    # window base rows: rows of run r get bases grp*nwin + j
+    # window id per 8-row step: all rows of a run share the run's window
     if nruns:
         row_of_run_rows = np.repeat(run_sup * rps + run_row_off, run_rows) + \
             _concat_aranges(run_rows)
-        bases = np.repeat(run_grp * nwin, run_rows).astype(np.int64)
-        Sx = -(-NC // LANES)
-        for j in range(nwin):
-            win_rows[row_of_run_rows, j] = np.minimum(bases + j, Sx - 1)
+        Sx3 = max(1, -(-(-(-NC // LANES)) // SUB))
+        grp_of_rows = np.repeat(np.minimum(run_grp, Sx3 - 1), run_rows)
+        step_start = row_of_run_rows % SUB == 0
+        grp_steps[row_of_run_rows[step_start] // SUB] = \
+            grp_of_rows[step_start]
 
     # per-position destination info
     blk_p = np.full(n_tot, -1, dtype=np.int64)
@@ -363,8 +377,8 @@ def _build_spmv_plan(rows, cols, weights, NR, NC, nwin, rows_per_super,
 
     return SpmvPlan(
         NC=NC, NR=NR, nblocks=nblocks, n_edges=E,
-        NWIN=nwin, total_rows=total_rows,
-        win_rows=win_rows, slot=slot, lane=lane, ev_x=ev_x,
+        NWIN=SUB, total_rows=total_rows,
+        grp=grp_steps, slot=slot, lane=lane, ev_x=ev_x,
         w_stream=w_stream,
         rows_per_super=rps, nsupers=nsupers, npasses=npasses,
         SMAX=smax_used,

@@ -38,12 +38,14 @@ def _truth(rows, cols, w, x, NR, kind):
 
 
 def _run_pipeline(plan, x, w, kind, identity):
-    Sx = -(-plan.NC // LANES)
-    x2d = np.zeros((Sx * LANES,), dtype=x.dtype)
-    x2d[:plan.NC] = x
-    x2d = x2d.reshape(Sx, LANES)
+    win = 8 * LANES
+    Sx3 = -(-plan.NC // win)
+    x3d = np.full((Sx3 * win,), identity if kind != "sum" else 0.0,
+                  dtype=x.dtype)
+    x3d[:plan.NC] = x
+    x3d = x3d.reshape(Sx3, 8, LANES)
     contrib = expand_stream(
-        jnp.asarray(x2d), jnp.asarray(plan.win_rows),
+        jnp.asarray(x3d), jnp.asarray(plan.grp),
         jnp.asarray(plan.slot), jnp.asarray(plan.lane),
         jnp.asarray(plan.ev_x),
         jnp.asarray(plan.w_stream) if plan.w_stream is not None else None,
