@@ -106,106 +106,67 @@ def expand_stream(x3d, grp, slot, lane, evalid, weights, fill,
 # group (in-VMEM radix passes per super)
 # --------------------------------------------------------------------------
 
-def _group_body(npasses, rows_per_super, rchunk, smax,
-                in_ref, dst_ref, idx_ref, out_ref, A, B):
-    s = pl.program_id(0)
-    stage = pl.program_id(1)   # 0 = load, 1..npasses = route, npasses+1 = store
-    rc = pl.program_id(2)
+def _group_pass_body(smax, dst_ref, in_ref, idx_ref, out_ref):
+    """One radix pass over one super: per 8-row source vreg, one lane
+    crossbar per fragment slot, masked-merged into prefetch-addressed
+    destination rows of the output (the proven reduce-kernel pattern:
+    dynamic row writes driven by SMEM-prefetched scalars only)."""
+    k8 = pl.program_id(0)
+    rows8 = in_ref[:, :]                                   # (8,128)
+    for j in range(smax):
+        raw = idx_ref[:, j * LANES:(j + 1) * LANES].astype(jnp.int32)
+        m8 = raw >= 0
+        idx8 = jnp.maximum(raw, 0)
+        g8 = jnp.take_along_axis(rows8, idx8, axis=1)
+        for i in range(SUB):
+            d = dst_ref[(k8 * SUB + i) * smax + j]
 
-    @pl.when(stage == 0)
-    def _load():
-        A[pl.ds(rc * rchunk, rchunk), :] = in_ref[:, :]
-
-    @pl.when((stage > 0) & (stage <= npasses))
-    def _route():
-        # stage p: read source vregs (8 rows at a time), crossbar all 8
-        # rows per fragment slot in one dynamic_gather, then masked-merge
-        # each routed row into its destination.
-        def body(k8, _):
-            r = rc * rchunk + k8 * SUB
-
-            def route_from(src, dstbuf):
-                rows8 = src[pl.ds(r, SUB), :]                  # (8,128)
-                for j in range(smax):
-                    raw = idx_ref[0, 0,
-                                  pl.ds(k8 * SUB, SUB),
-                                  j * LANES:(j + 1) * LANES].astype(jnp.int32)
-                    m8 = raw >= 0
-                    idx8 = jnp.maximum(raw, 0)
-                    g8 = jnp.take_along_axis(rows8, idx8, axis=1)
-                    for i in range(SUB):
-                        d = dst_ref[0, 0, k8 * SUB + i, j]
-
-                        @pl.when(d >= 0)
-                        def _():
-                            cur = dstbuf[pl.ds(d, 1), :]
-                            dstbuf[pl.ds(d, 1), :] = jnp.where(
-                                m8[i:i + 1, :], g8[i:i + 1, :], cur)
-
-            @pl.when(stage % 2 == 1)
+            @pl.when(d >= 0)
             def _():
-                route_from(A, B)
-
-            @pl.when(stage % 2 == 0)
-            def _():
-                route_from(B, A)
-            return 0
-        lax.fori_loop(0, rchunk // SUB, body, 0)
-
-    @pl.when(stage == npasses + 1)
-    def _store():
-        @pl.when(npasses % 2 == 1)
-        def _():
-            out_ref[:, :] = B[pl.ds(rc * rchunk, rchunk), :]
-        @pl.when(npasses % 2 == 0)
-        def _():
-            out_ref[:, :] = A[pl.ds(rc * rchunk, rchunk), :]
+                cur = out_ref[pl.ds(d, 1), :]
+                out_ref[pl.ds(d, 1), :] = jnp.where(
+                    m8[i:i + 1, :], g8[i:i + 1, :], cur)
 
 
 def group_stream(contrib, frag_dst, frag_idx,
                  rows_per_super: int, npasses: int, rchunk: int = 64,
                  interpret=False):
-    """Regroup the contribution stream (see GroupPlan).
+    """Regroup the contribution stream by destination row block.
 
-    contrib: (total_rows, 128); frag_dst: (nsupers, npasses, rows, SMAX)
-    int32; frag_idx: (..., SMAX*128) int8, -1 = unwritten lane. Returns
-    the regrouped stream,
-    same shape (holes contain garbage — mask with the reduce plan's
-    evalid).
+    contrib: (total_rows, 128); frag_dst: (nsupers, npasses, rps, SMAX)
+    int32 (-1 = idle slot); frag_idx: (nsupers, npasses, rps, SMAX*128)
+    int8 (-1 = unwritten lane). One pallas_call per (super, pass); the
+    whole super stays in HBM↔VMEM streamed blocks. Returns the regrouped
+    stream (holes contain garbage — masked by the reduce plan's evalid).
     """
     nsupers = frag_dst.shape[0]
     smax = frag_dst.shape[3]
-    nrc = rows_per_super // rchunk
-    kern = functools.partial(_group_body, npasses, rows_per_super, rchunk,
-                             smax)
-    grid = (nsupers, npasses + 2, nrc)
-
-    def in_map(s, p, rc):
-        # stream input rows only during the load stage; afterwards pin to
-        # block 0 (revisited, not re-fetched)
-        return (jnp.where(p == 0, s * nrc + rc, 0), 0)
-
-    def plan_map(s, p, rc):
-        pp = jnp.maximum(p - 1, 0)
-        return (s, pp, rc, 0)
-
-    return pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((rchunk, LANES), in_map),
-            pl.BlockSpec((1, 1, rchunk, smax), plan_map),
-            pl.BlockSpec((1, 1, rchunk, smax * LANES), plan_map),
-        ],
-        out_specs=pl.BlockSpec((rchunk, LANES),
-                               lambda s, p, rc: (s * nrc + rc, 0)),
-        out_shape=jax.ShapeDtypeStruct(contrib.shape, contrib.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((rows_per_super, LANES), contrib.dtype),
-            pltpu.VMEM((rows_per_super, LANES), contrib.dtype),
-        ],
-        interpret=interpret,
-    )(contrib, frag_dst, frag_idx)
+    rps = rows_per_super
+    buf = contrib
+    for p in range(npasses):
+        nxt = []
+        for s in range(nsupers):
+            sup_in = jax.lax.dynamic_slice(buf, (s * rps, 0), (rps, LANES))
+            dst_flat = frag_dst[s, p].reshape(-1)
+            kern = functools.partial(_group_pass_body, smax)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(rps // SUB,),
+                in_specs=[
+                    pl.BlockSpec((SUB, LANES), lambda k, d: (k, 0)),
+                    pl.BlockSpec((SUB, smax * LANES), lambda k, d: (k, 0)),
+                ],
+                out_specs=pl.BlockSpec((rps, LANES), lambda k, d: (0, 0)),
+            )
+            out = pl.pallas_call(
+                kern,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((rps, LANES), contrib.dtype),
+                interpret=interpret,
+            )(dst_flat, sup_in, frag_idx[s, p])
+            nxt.append(out)
+        buf = jnp.concatenate(nxt, axis=0)
+    return buf
 
 
 # --------------------------------------------------------------------------
