@@ -87,6 +87,8 @@ class Executor:
         self._renumber = self.tiles.ir is not None
         self._apply_i_mask = self.tiles.compression in (
             Compression.TCSC, Compression.TCSC_CF)
+        self._phase_tiles = {"main": self.tiles}
+        self._phase_shuffle_meta = {}
         self._shuffle_meta = None
         if self.kernel == "shuffle":
             from graphtap_tpu.kernels.shuffle_engine import \
@@ -95,6 +97,7 @@ class Executor:
                 raise ValueError("shuffle kernel requires TCSC compression")
             self._shuffle_meta = build_shuffle_plans(
                 self.tiles, value_dtype=np.dtype(self.program.value_dtype))
+            self._phase_shuffle_meta["main"] = self._shuffle_meta
             self._shuffle_dev = self._shuffle_meta.device_arrays(self.mesh)
 
     # ------------------------------------------------------------------ util
@@ -119,7 +122,7 @@ class Executor:
         self.iteration = 0
 
     # ------------------------------------------------------------- superstep
-    def _combine(self, x, tile):
+    def _combine(self, x, tile, phase="main"):
         """Tile SpMV + partial-y reduction → the owner's y segment (L,).
 
         (reference: combine + combine_postprocess,
@@ -128,9 +131,10 @@ class Executor:
         L, Cc = part.L, part.C
         if self.kernel == "shuffle":
             from graphtap_tpu.kernels.shuffle_engine import spmv_local
-            plan_local = {k: tile[k][0] for k in self._shuffle_meta.arrays}
+            meta = self._phase_shuffle_meta[phase]
+            plan_local = {k: tile[k][0] for k in meta.arrays}
             interp = self.mesh.devices.flat[0].platform != "tpu"
-            y_dense = spmv_local(x, plan_local, self._shuffle_meta, sem,
+            y_dense = spmv_local(x, plan_local, meta, sem,
                                  dense_len=Cc * L, interpret=interp)
             if sem.reduce_kind == "sum":
                 return lax.psum_scatter(y_dense, COLS,
@@ -146,7 +150,7 @@ class Executor:
         else:
             y_comp = spmv_segment(
                 x, tile["rows"][0], tile["cols"][0], w, tile["nnz"][0, 0],
-                self.tiles.NR, sem)                              # (NR,)
+                self._phase_tiles[phase].NR, sem)                # (NR,)
         if self._renumber:
             y_dense = expand_compact(y_comp, tile["iv_dense"][0], sem)
         else:
@@ -159,17 +163,21 @@ class Executor:
         return sem.axis_reduce(parts, axis=0)                    # (L,)
 
     def _apply(self, Vl, y_own, tile, it):
-        """(reference: apply_*, vertex_program.hpp:1610-1802)."""
+        """(reference: apply_*, vertex_program.hpp:1610-1802). TCSC
+        applies only where the I bit is set (:1655-1670); TCSC_CF phases
+        carry an explicit apply mask (regular rows each iteration, source
+        rows only on the last — :1671-1692)."""
         prog = self.program
         V2l, changed = prog.applicator(Vl, y_own, it)
-        i_own = tile["i_own"][0]
-        if self._apply_i_mask:
-            V2l = {k: jnp.where(i_own, v2, Vl[k]) for k, v2 in V2l.items()}
-            changed = changed & i_own
+        mask = tile["apply_mask"][0] if "apply_mask" in tile else (
+            tile["i_own"][0] if self._apply_i_mask else None)
+        if mask is not None:
+            V2l = {k: jnp.where(mask, v2, Vl[k]) for k, v2 in V2l.items()}
+            changed = changed & mask
         changed = changed & (tile["vids"][0] < self.graph.nv)
         return V2l, changed
 
-    def _local_superstep(self, V: State, C, tile, it):
+    def _local_superstep(self, V: State, C, tile, it, phase="main"):
         """One BSP superstep; everything is device-local under shard_map.
 
         V leaves: (1, L); C: (1, L); tile leaves: (1, ...). Returns
@@ -183,7 +191,7 @@ class Executor:
             m = jnp.where(C[0], m, sem.identity_like(m.dtype))
         x = lax.all_gather(m, ROWS, tiled=True)                  # (R*L,)
 
-        y_own = self._combine(x, tile)
+        y_own = self._combine(x, tile, phase)
         V2l, changed = self._apply(Vl, y_own, tile, it)
 
         # --- convergence vote (reference :1885-1923)
@@ -192,11 +200,11 @@ class Executor:
         V2 = {k: v[None] for k, v in V2l.items()}
         return V2, changed[None], m, votes
 
-    def _local_flush(self, V: State, C, tile, m_stale, it):
+    def _local_flush(self, V: State, C, tile, m_stale, it, phase="main"):
         """Post-convergence combine+apply with the stale x
         (reference :425-429)."""
         x = lax.all_gather(m_stale, ROWS, tiled=True)
-        y_own = self._combine(x, tile)
+        y_own = self._combine(x, tile, phase)
         Vl = {k: v[0] for k, v in V.items()}
         V2l, changed = self._apply(Vl, y_own, tile, it)
         return {k: v[None] for k, v in V2l.items()}, changed[None]
@@ -229,6 +237,76 @@ class Executor:
             t = dict(t)
             t["weights"] = None
         return t
+
+    # ------------------------------------------------- TCSC_CF phase plans
+    @functools.cached_property
+    def _cf_pytrees(self):
+        """Phase pytrees for TCSC_CF execution (first/middle/last edge
+        subsets + apply masks; reference: spmv_stationary phase gating,
+        vertex_program.hpp:1243-1320, apply :1671-1692)."""
+        cf = self.graph.tiled_cf(self.engine.ordering)
+        full = cf["full"]
+        regular = full.regular_own
+        src = full.source_own
+        masks = {"first": regular, "middle": regular,
+                 "last": regular | src}
+        out = {}
+        for ph in ("first", "middle", "last"):
+            ts = cf[ph]
+            self._phase_tiles[ph] = ts
+            dev = ts.device_arrays(self.mesh)
+            if self.kernel == "shuffle":
+                from graphtap_tpu.kernels.shuffle_engine import \
+                    build_shuffle_plans, ShufflePlans
+                meta = build_shuffle_plans(
+                    ts, value_dtype=np.dtype(self.program.value_dtype))
+                self._phase_shuffle_meta[ph] = meta
+                t = dict(meta.device_arrays(self.mesh))
+            else:
+                t = {k: v for k, v in dev.items() if v is not None}
+                for k in ("nnzrows", "j_own", "regular_own", "source_own",
+                          "sink_own", "ir", "i_own"):
+                    t.pop(k, None)
+            t["vids"] = self._vids
+            t["apply_mask"] = self._put(masks[ph])
+            out[ph] = t
+        return out
+
+    @functools.cached_property
+    def _run_fixed_cf(self):
+        mesh = self.mesh
+
+        def run(V, C, t_first, t_mid, t_last, niters):
+            t_first_ = self._tile_with_w(t_first)
+            t_mid_ = self._tile_with_w(t_mid)
+            t_last_ = self._tile_with_w(t_last)
+            V, C, _m, _v = self._local_superstep(V, C, t_first_,
+                                                 jnp.int32(0), "first")
+
+            def body(it, carry):
+                V, C = carry
+                V2, C2, _m, _v = self._local_superstep(V, C, t_mid_, it,
+                                                       "middle")
+                return (V2, C2)
+
+            V, C = lax.fori_loop(1, niters - 1, body, (V, C))
+            V, C, _m, _v = self._local_superstep(V, C, t_last_,
+                                                 niters - 1, "last")
+            return V, C
+
+        spec1 = _spec(1)
+        trees = self._cf_pytrees
+        shmapped = jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(spec1, spec1,
+                      jax.tree.map(lambda _: spec1, dict(trees["first"])),
+                      jax.tree.map(lambda _: spec1, dict(trees["middle"])),
+                      jax.tree.map(lambda _: spec1, dict(trees["last"])),
+                      P()),
+            out_specs=(spec1, spec1),
+            check_vma=False,
+        )
+        return jax.jit(shmapped)
 
     @functools.cached_property
     def _run_fixed(self):
@@ -297,7 +375,16 @@ class Executor:
         niters = self.engine.num_iterations if num_iterations is None \
             else num_iterations
         tile = self._tile_pytree
-        if niters and niters > 0:
+        use_cf = (self.tiles.compression == Compression.TCSC_CF
+                  and niters and niters > 1)
+        if use_cf:
+            trees = self._cf_pytrees
+            V, C = self._run_fixed_cf(self.state, self.changed,
+                                      trees["first"], trees["middle"],
+                                      trees["last"], niters)
+            self.state, self.changed = V, C
+            self.iteration = niters
+        elif niters and niters > 0:
             V, C = self._run_fixed(self.state, self.changed, tile, niters)
             self.state, self.changed = V, C
             self.iteration = niters

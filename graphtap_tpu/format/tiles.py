@@ -110,6 +110,65 @@ class TileSet:
         }
 
 
+def classify_vertices(r: np.ndarray, c: np.ndarray, n_pad: int):
+    """Vertex classes over the stored matrix (reference:
+    classify_vertices, matrix.hpp:1125-1282): regular = row∧col present,
+    source rows = rows without cols, sink cols = cols without rows."""
+    has_row = np.zeros(n_pad, dtype=bool)
+    has_col = np.zeros(n_pad, dtype=bool)
+    has_row[np.asarray(r, np.int64)] = True
+    has_col[np.asarray(c, np.int64)] = True
+    return {
+        "regular": has_row & has_col,
+        "source_row": has_row & ~has_col,
+        "sink_col": has_col & ~has_row,
+    }
+
+
+def build_cf_tilesets(
+    r: np.ndarray, c: np.ndarray, w: Optional[np.ndarray],
+    part: Partition, parallel_edges: bool = True,
+    edge_align: int = 1024, weight_dtype=np.int32,
+):
+    """TCSC_CF: three edge-subset tilesets for the first / middle / last
+    iteration phases (reference: the five JA/JC pointer sets of
+    TCSC_CF_BASE, compressed_column.hpp:606-1120, executed per phase in
+    spmv_stationary, vertex_program.hpp:1243-1320):
+
+      first  — regular-row edges, all columns (REG_R_NNZ_C)
+      middle — regular rows × regular columns (REG_R_REG_C)
+      last   — everything except regular-row × sink-col (REG_R_REG_C +
+               SRC_R_REG_C + SRC_R_SNK_C)
+
+    Sink columns' messages are zero under the I-masked degree handoff
+    (pr.h / vertex_program.hpp:476-483), which is what makes dropping
+    REG_R_SNK_C after iteration 0 sound.
+    """
+    r = np.asarray(r, np.int64)
+    c = np.asarray(c, np.int64)
+    cls = classify_vertices(r, c, part.n_pad)
+    row_is_source = cls["source_row"][r]
+    col_is_sink = cls["sink_col"][c]
+
+    def subset(mask):
+        wm = w[mask] if w is not None else None
+        return build_tileset(r[mask], c[mask], wm, part,
+                             compression=Compression.TCSC_CF,
+                             parallel_edges=parallel_edges,
+                             edge_align=edge_align,
+                             weight_dtype=weight_dtype)
+
+    full = build_tileset(r, c, w, part, compression=Compression.TCSC_CF,
+                         parallel_edges=parallel_edges,
+                         edge_align=edge_align, weight_dtype=weight_dtype)
+    return {
+        "full": full,
+        "first": subset(~row_is_source),
+        "middle": subset(~row_is_source & ~col_is_sink),
+        "last": subset(~(~row_is_source & col_is_sink)),
+    }
+
+
 def build_tileset(
     r: np.ndarray,
     c: np.ndarray,

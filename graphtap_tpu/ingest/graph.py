@@ -90,3 +90,17 @@ class Graph:
             r, c, self.w, self.part, compression=comp,
             parallel_edges=self.config.parallel_edges,
             edge_align=self.config.edge_align)
+
+    def tiled_cf(self, ordering: Ordering = Ordering.ROW) -> dict:
+        """TCSC_CF phase tilesets (full/first/middle/last) — the
+        computation-filtering execution plans (reference:
+        compressed_column.hpp:606-1120)."""
+        from graphtap_tpu.format.tiles import build_cf_tilesets
+        if ordering == Ordering.COL:
+            r, c = self.c, self.r
+        else:
+            r, c = self.r, self.c
+        return build_cf_tilesets(
+            r, c, self.w, self.part,
+            parallel_edges=self.config.parallel_edges,
+            edge_align=self.config.edge_align)

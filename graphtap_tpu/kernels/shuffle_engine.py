@@ -140,18 +140,18 @@ def spmv_local(x, t: Dict, meta: ShufflePlans, semiring: Semiring,
 
     ``t`` holds the LOCAL plan slices (leading device axis already
     dropped)."""
-    from graphtap_tpu.kernels.shuffle_plan import SUB
+    from graphtap_tpu.kernels.shuffle_plan import SUB, WROWS
     fill = semiring.identity
     if semiring.reduce_kind == "sum":
         mul_kind = "mul" if meta.has_w else "none"
     else:
         mul_kind = "add_sat" if meta.has_w else "none"
-    win = SUB * LANES
+    win = WROWS * LANES
     sx3 = -(-x.shape[0] // win)
     xp = jnp.concatenate(
         [x, jnp.full((sx3 * win - x.shape[0],), fill, x.dtype)]) \
         if sx3 * win != x.shape[0] else x
-    x3d = xp.reshape(sx3, SUB, LANES)
+    x3d = xp.reshape(sx3, WROWS, LANES)
     contrib = expand_stream(
         x3d, t["grp"], t["slot"], t["lane"], t["ev_x"],
         t.get("w_stream"), fill, mul_kind=mul_kind, interpret=interpret)
@@ -168,7 +168,7 @@ def spmv_local(x, t: Dict, meta: ShufflePlans, semiring: Semiring,
     ntab = -(-yflat.shape[0] // win) + 1
     ytab = jnp.concatenate(
         [yflat, jnp.full((ntab * win - yflat.shape[0],), fill,
-                         yflat.dtype)]).reshape(ntab, SUB, LANES)
+                         yflat.dtype)]).reshape(ntab, WROWS, LANES)
     ya = expand_stream(ytab, t["mexp_grp_a"], t["mexp_slot_a"],
                        t["mexp_lane"], t["mexp_ev_a"], None, fill,
                        mul_kind="none", interpret=interpret)

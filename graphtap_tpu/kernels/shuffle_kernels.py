@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 SUB = 8
+WROWS = 64
 
 
 # --------------------------------------------------------------------------
@@ -47,7 +48,7 @@ def _expand_body(mul_kind, fill,
     lane32 = lane_ref[:, :].astype(jnp.int32)
     slot = slot_ref[:, :].astype(jnp.int32)
     acc = jnp.zeros((SUB, LANES), dtype=out_ref.dtype)
-    for j in range(SUB):
+    for j in range(WROWS):
         wj = jnp.broadcast_to(win_ref[0, j:j + 1, :], (SUB, LANES))
         g = jnp.take_along_axis(wj, lane32, axis=1)
         acc = jnp.where(slot == j, g, acc)
@@ -65,7 +66,7 @@ def expand_stream(x3d, grp, slot, lane, evalid, weights, fill,
                   mul_kind=None, interpret=False):
     """Run the expand kernel.
 
-    x3d: (Sx3, 8, 128) table (x reshaped into 1024-column windows);
+    x3d: (Sx3, 64, 128) table (x reshaped into 8192-column windows);
     grp: (nsteps,) int32 window id per 8-row output step (scalar
     prefetch); slot/lane: (out_rows, 128) int8 sub-row / lane of each
     edge's column within its step's window; evalid: (out_rows, 128) int8;
@@ -82,7 +83,7 @@ def expand_stream(x3d, grp, slot, lane, evalid, weights, fill,
         num_scalar_prefetch=1,
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((1, SUB, LANES), lambda i, g: (g[i], 0, 0)),
+            pl.BlockSpec((1, WROWS, LANES), lambda i, g: (g[i], 0, 0)),
             pl.BlockSpec((SUB, LANES), lambda i, g: (i, 0)),
             pl.BlockSpec((SUB, LANES), lambda i, g: (i, 0)),
             pl.BlockSpec((SUB, LANES), lambda i, g: (i, 0)),
@@ -142,31 +143,31 @@ def group_stream(contrib, frag_dst, frag_idx,
     nsupers = frag_dst.shape[0]
     smax = frag_dst.shape[3]
     rps = rows_per_super
-    buf = contrib
+    kern = functools.partial(_group_pass_body, smax)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rps // SUB,),
+        in_specs=[
+            pl.BlockSpec((SUB, LANES), lambda k, d: (k, 0)),
+            pl.BlockSpec((SUB, smax * LANES), lambda k, d: (k, 0)),
+        ],
+        out_specs=pl.BlockSpec((rps, LANES), lambda k, d: (0, 0)),
+    )
+
+    def one(args):
+        sup_in, dst, idx = args
+        return pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((rps, LANES), contrib.dtype),
+            interpret=interpret,
+        )(dst.reshape(-1), sup_in, idx)
+
+    buf = contrib.reshape(nsupers, rps, LANES)
     for p in range(npasses):
-        nxt = []
-        for s in range(nsupers):
-            sup_in = jax.lax.dynamic_slice(buf, (s * rps, 0), (rps, LANES))
-            dst_flat = frag_dst[s, p].reshape(-1)
-            kern = functools.partial(_group_pass_body, smax)
-            grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(rps // SUB,),
-                in_specs=[
-                    pl.BlockSpec((SUB, LANES), lambda k, d: (k, 0)),
-                    pl.BlockSpec((SUB, smax * LANES), lambda k, d: (k, 0)),
-                ],
-                out_specs=pl.BlockSpec((rps, LANES), lambda k, d: (0, 0)),
-            )
-            out = pl.pallas_call(
-                kern,
-                grid_spec=grid_spec,
-                out_shape=jax.ShapeDtypeStruct((rps, LANES), contrib.dtype),
-                interpret=interpret,
-            )(dst_flat, sup_in, frag_idx[s, p])
-            nxt.append(out)
-        buf = jnp.concatenate(nxt, axis=0)
-    return buf
+        # one kernel lowering, executed per super on device (lax.map)
+        buf = jax.lax.map(one, (buf, frag_dst[:, p], frag_idx[:, p]))
+    return buf.reshape(nsupers * rps, LANES)
 
 
 # --------------------------------------------------------------------------

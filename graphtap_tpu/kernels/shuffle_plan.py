@@ -40,6 +40,7 @@ import numpy as np
 
 LANES = 128
 SUB = 8
+WROWS = 64                   # x-window height: 64 x-rows = 8192 columns
 RED_ROWS = 8                 # stream rows per reduce chunk (8*128 = 1024 el)
 RADIX_BITS = 3
 RADIX = 1 << RADIX_BITS
@@ -102,7 +103,7 @@ def plan_monotone_expand(iv_dense: np.ndarray) -> MonotoneExpandPlan:
     iv3 = ivp.reshape(out_rows // SUB, SUB * LANES)
     valid = iv3 >= 0
     ivc = np.where(valid, iv3, np.int64(1 << 60))
-    win = SUB * LANES
+    win = WROWS * LANES
     base = np.where(valid.any(axis=1), ivc.min(axis=1) // win, 0)
     rel = np.where(valid, iv3 - base[:, None] * win, 0)
     assert (rel[valid] < 2 * win).all(), "monotone span exceeds 2 windows"
@@ -199,7 +200,7 @@ def _build_spmv_plan(rows, cols, weights, NR, NC, nwin, rows_per_super,
 
     # ---- expand layout: per (super, window group) runs padded to rows --
     xrow = c_s // LANES
-    grp = xrow // SUB
+    grp = xrow // WROWS
     # run id changes when (super, grp) changes
     if E:
         chg = np.concatenate([[True], (sup_s[1:] != sup_s[:-1]) |
@@ -252,7 +253,7 @@ def _build_spmv_plan(rows, cols, weights, NR, NC, nwin, rows_per_super,
 
     rowp = pos // LANES
     lanep = pos % LANES
-    slot[rowp, lanep] = (xrow % SUB).astype(np.int8)
+    slot[rowp, lanep] = (xrow % WROWS).astype(np.int8)
     lane[rowp, lanep] = (c_s % LANES).astype(np.int8)
     ev_x[rowp, lanep] = 1
     if w_stream is not None:
@@ -261,7 +262,7 @@ def _build_spmv_plan(rows, cols, weights, NR, NC, nwin, rows_per_super,
     if nruns:
         row_of_run_rows = np.repeat(run_sup * rps + run_row_off, run_rows) + \
             _concat_aranges(run_rows)
-        Sx3 = max(1, -(-(-(-NC // LANES)) // SUB))
+        Sx3 = max(1, -(-(-(-NC // LANES)) // WROWS))
         grp_of_rows = np.repeat(np.minimum(run_grp, Sx3 - 1), run_rows)
         step_start = row_of_run_rows % SUB == 0
         grp_steps[row_of_run_rows[step_start] // SUB] = \

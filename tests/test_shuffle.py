@@ -38,12 +38,12 @@ def _truth(rows, cols, w, x, NR, kind):
 
 
 def _run_pipeline(plan, x, w, kind, identity):
-    win = 8 * LANES
+    win = 64 * LANES
     Sx3 = -(-plan.NC // win)
     x3d = np.full((Sx3 * win,), identity if kind != "sum" else 0.0,
                   dtype=x.dtype)
     x3d[:plan.NC] = x
-    x3d = x3d.reshape(Sx3, 8, LANES)
+    x3d = x3d.reshape(Sx3, 64, LANES)
     contrib = expand_stream(
         jnp.asarray(x3d), jnp.asarray(plan.grp),
         jnp.asarray(plan.slot), jnp.asarray(plan.lane),
