@@ -216,12 +216,18 @@ def build_tileset(
 
     renumber = compression in (Compression.TCSC, Compression.TCSC_CF)
 
-    # --- per-device binning, sort, dedup, pad
-    order = np.argsort(dev, kind="stable")
+    # --- per-device binning (native counting sort when available;
+    # replaces the MPI all-to-all shuffle, matrix.hpp:692-810)
+    from graphtap_tpu import native
+    if r.size and r.max() < (1 << 32) and c.max() < (1 << 32):
+        order, counts = native.bin_edges(r, c, part.L, R, C)
+    else:
+        order = np.argsort(dev, kind="stable")
+        counts = np.bincount(dev, minlength=D)
     dev_s, lr_s, lc_s = dev[order], lr[order], lc[order]
     w_s = w[order] if w is not None else None
-    starts = np.searchsorted(dev_s, np.arange(D))
-    ends = np.searchsorted(dev_s, np.arange(D) + 1)
+    ends = np.cumsum(counts)
+    starts = ends - counts
 
     per_rows, per_cols, per_w, per_nnz = [], [], [], []
     for b in range(D):
