@@ -414,6 +414,14 @@ class Executor:
         total = vals[mask].astype(np.float64).sum()
         return float(total), int(mask.sum())
 
+    def stats(self) -> Dict[str, float]:
+        """Distribution statistics over reachable states
+        (reference: checksum1(), vertex_program.hpp:1963-2119)."""
+        from graphtap_tpu.tools.oracle import state_stats
+        sv = self.state_vector()
+        vals = np.asarray(self.program.get_state(sv))
+        return state_stats(vals, self.program.infinity())
+
     def display(self, count: int = 31) -> str:
         """First ``count`` vertex states (reference: display(), :2124-2181)."""
         sv = self.state_vector()

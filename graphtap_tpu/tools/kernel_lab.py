@@ -5,9 +5,10 @@ The analog of the reference's ``src/singlenode/`` harness
 memory / time / op count / checksum for cross-checking). Here the variants
 are the TPU kernel implementations behind one API:
 
-  0  scan     — scatter-free segmented-scan TCSC (the production path)
+  0  scan     — XLA segmented-scan TCSC (portable)
   1  segment  — jax.ops.segment_sum TCSC (XLA scatter lowering)
   2  scan-csc — segmented scan over plain CSC (no renumbering)
+  3  shuffle  — Pallas static-shuffle pipeline (the TPU fast path)
 
 Usage: python -m graphtap_tpu.tools.kernel_lab <which> <file> <nvertices> <niters>
 (mirrors ``bin/main <which> <file> <nvertices> <niters>``,
@@ -22,7 +23,8 @@ import time
 import numpy as np
 
 
-VARIANTS = {0: ("scan", "tcsc"), 1: ("segment", "tcsc"), 2: ("scan", "csc")}
+VARIANTS = {0: ("scan", "tcsc"), 1: ("segment", "tcsc"),
+            2: ("scan", "csc"), 3: ("shuffle", "tcsc")}
 
 
 def run_variant(which: int, path: str, nvertices: int, niters: int,
@@ -80,7 +82,7 @@ def run_variant(which: int, path: str, nvertices: int, niters: int,
 def main(argv=None):
     argv = argv or sys.argv[1:]
     if len(argv) != 4:
-        print("Usage: kernel_lab <which 0-2> <file> <nvertices> <niters>")
+        print("Usage: kernel_lab <which 0-3> <file> <nvertices> <niters>")
         return 1
     which, path, nv, niters = int(argv[0]), argv[1], int(argv[2]), int(argv[3])
     r = run_variant(which, path, nv, niters)

@@ -54,3 +54,17 @@ def test_kernel_lab_variants_agree(which):
     # cross-format invariant); reference binary prints 314.723 at 5 iters
     assert r["checksum"] == pytest.approx(314.723, abs=2e-3)
     assert r["operations"] == 16384 * 5
+
+
+def test_kernel_lab_shuffle_variant():
+    r = run_variant(3, RMAT10, 1024, 5)
+    assert r["checksum"] == pytest.approx(314.723, abs=2e-3)
+
+
+def test_pr1_two_load():
+    from graphtap_tpu.apps.pagerank import run_pagerank_two_load
+    import jax.numpy as jnp
+    ex = run_pagerank_two_load(RMAT10, 1024, num_iterations=20,
+                               value_dtype=jnp.float64)
+    total, _ = ex.checksum()
+    assert total == pytest.approx(317.0176895329694, rel=1e-9)
