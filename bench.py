@@ -1,6 +1,6 @@
 """Benchmark driver: PageRank GTEPS on RMAT-20, one real chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line (stdout):
   {"metric": "pagerank_gteps_rmat20", "value": N, "unit": "GTEPS",
    "vs_baseline": N}
 
@@ -9,75 +9,134 @@ The baseline is the reference's own TCSC SpMSpV kernel
 machine's CPU over the identical RMAT-20 graph (generated with
 graphtap_tpu.ingest.rmat, seed 1): 318,767,104 edge-ops in 1.059 s for the
 20-iteration PageRank loop = 0.3009 GTEPS (see BASELINE.md). GTEPS here is
-counted the same way: (deduped) stored edges × iterations / loop seconds,
-excluding ingest and compile.
+counted the same way: (deduped) stored edges x iterations / loop seconds,
+excluding ingest and compile — the reference likewise benchmarks over
+pre-built RMAT binaries (graphtap.slurm:43-48), so host-side build
+artifacts (tiles, shuffle plans) are disk-cached in .bench_cache/.
+
+Env knobs: BENCH_KERNEL (shuffle|scan|segment, default shuffle),
+BENCH_SCALE, BENCH_ITERS.
 """
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF_CPU_GTEPS = 0.3009  # reference TCSC on this host's CPU (see docstring)
 
-SCALE = 20
+SCALE = int(os.environ.get("BENCH_SCALE", "20"))
 EDGE_FACTOR = 16
-ITERS = 20
+ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 SEED = 1
+KERNEL = os.environ.get("BENCH_KERNEL", "shuffle")
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def get_artifacts(graph, ordering, kernel, value_dtype):
+    """Tiles + shuffle plans for one ordering, disk-memoized."""
+    import numpy as np
+    from graphtap_tpu.tools import artifact_cache as ac
+
+    R, C = graph.mesh.devices.shape
+    key = f"rmat{SCALE}_ef{EDGE_FACTOR}_s{SEED}_{ordering.value}_{R}x{C}"
+    tp = os.path.join(CACHE, f"tiles_{key}.npz")
+    if os.path.exists(tp):
+        tiles = ac.load_tileset(tp)
+    else:
+        tiles = graph.tiled(ordering)
+        ac.save_tileset(tiles, tp)
+    log(f"[bench] tiles({ordering.value}) ready")
+    plans = None
+    if kernel == "shuffle":
+        pp = os.path.join(CACHE, f"plans_{key}_{np.dtype(value_dtype).name}.npz")
+        if os.path.exists(pp):
+            plans = ac.load_shuffle_plans(pp)
+        else:
+            from graphtap_tpu.kernels.shuffle_engine import build_shuffle_plans
+            plans = build_shuffle_plans(tiles,
+                                        value_dtype=np.dtype(value_dtype))
+            ac.save_shuffle_plans(plans, pp)
+        log(f"[bench] plans({ordering.value}) ready")
+    return tiles, plans
 
 
 def main():
+    t0 = time.perf_counter()
     import numpy as np
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(CACHE, "jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from graphtap_tpu import Graph, GraphConfig, Compression, make_mesh
     from graphtap_tpu.apps.pagerank import PageRankProgram
     from graphtap_tpu.apps.degree import DegreeProgram
     from graphtap_tpu.config import EngineConfig, Ordering
     from graphtap_tpu.engine.executor import Executor
-    from graphtap_tpu.ingest.rmat import rmat_edges
+    from graphtap_tpu.tools.artifact_cache import cached_rmat
 
-    src, dst, _ = rmat_edges(scale=SCALE, edge_factor=EDGE_FACTOR, seed=SEED)
+    os.makedirs(CACHE, exist_ok=True)
+    src, dst, _ = cached_rmat(SCALE, EDGE_FACTOR, SEED, CACHE)
     n = 1 << SCALE
+    log(f"[bench] edges ready E={src.size} t={time.perf_counter()-t0:.0f}s")
 
     mesh = make_mesh()
     cfg = GraphConfig(num_vertices=n, directed=True, transpose=True,
                       compression=Compression.TCSC)
     g = Graph.from_edges(src, dst, None, cfg, mesh=mesh)
 
+    tiles_col, plans_col = get_artifacts(g, Ordering.COL, KERNEL, jnp.float32)
+    tiles_row, plans_row = get_artifacts(g, Ordering.ROW, KERNEL, jnp.float32)
+    log(f"[bench] artifacts ready t={time.perf_counter()-t0:.0f}s")
+
     deg_ex = Executor(g, DegreeProgram(value_dtype=jnp.float32),
-                      EngineConfig(stationary=True, ordering=Ordering.COL))
+                      EngineConfig(stationary=True, ordering=Ordering.COL),
+                      tiles=tiles_col, kernel=KERNEL,
+                      shuffle_plans=plans_col)
     deg_ex.initialize()
     deg_ex.execute(1)
+    log(f"[bench] degree phase done t={time.perf_counter()-t0:.0f}s")
 
     pr_ex = Executor(g, PageRankProgram(value_dtype=jnp.float32),
-                     EngineConfig(stationary=True, ordering=Ordering.ROW))
+                     EngineConfig(stationary=True, ordering=Ordering.ROW),
+                     tiles=tiles_row, kernel=KERNEL,
+                     shuffle_plans=plans_row)
     pr_ex.initialize(other=deg_ex)
 
     nnz = pr_ex.tiles.nnz_total
 
     # warmup (compile) — run the full fixed-iteration loop once
     pr_ex.execute(ITERS)
+    log(f"[bench] warmup done t={time.perf_counter()-t0:.0f}s")
 
     # timed: re-init and run again
     pr_ex.initialize(other=deg_ex)
-    t0 = time.perf_counter()
+    t1 = time.perf_counter()
     pr_ex.execute(ITERS)
-    dt = time.perf_counter() - t0
+    dt = time.perf_counter() - t1
 
     gteps = nnz * ITERS / dt / 1e9
     checksum, _ = pr_ex.checksum()
 
     print(json.dumps({
-        "metric": "pagerank_gteps_rmat20",
+        "metric": f"pagerank_gteps_rmat{SCALE}",
         "value": round(gteps, 4),
         "unit": "GTEPS",
         "vs_baseline": round(gteps / REF_CPU_GTEPS, 3),
         "detail": {
             "edges": int(nnz), "iters": ITERS, "seconds": round(dt, 4),
-            "checksum": round(checksum, 2), "devices": len(jax.devices()),
+            "checksum": round(checksum, 2), "kernel": KERNEL,
+            "devices": len(jax.devices()),
         },
     }))
 

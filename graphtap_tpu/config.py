@@ -74,3 +74,14 @@ class EngineConfig:
     # Number of iterations; 0 => run to convergence
     # (reference: execute(), vertex_program.hpp:407-441).
     num_iterations: int = 0
+    # Activity-filtered exchange (reference: scatter_nonstationary /
+    # gather_nonstationary, vertex_program.hpp:865-966): when every
+    # column-group sender's active count fits in this static capacity,
+    # the superstep exchanges (index, value) pairs of the K most-active
+    # slots instead of the dense (L,) message vector — the reference's
+    # "≤ 0.6 active fraction → sparse" protocol with the ratio replaced
+    # by a static capacity (XLA needs fixed shapes). 0 disables (dense
+    # exchange always). Worth enabling only when the gather crosses DCN;
+    # on single-slice ICI the dense path is faster (the rebuild scatter
+    # costs more than the bandwidth saved).
+    sparse_exchange_capacity: int = 0

@@ -68,7 +68,8 @@ class Executor:
     def __init__(self, graph: Graph, program: VertexProgram,
                  engine: Optional[EngineConfig] = None,
                  tiles: Optional[TileSet] = None,
-                 kernel: str = "scan"):
+                 kernel: str = "scan",
+                 shuffle_plans=None):
         self.graph = graph
         self.program = program
         self.engine = engine or EngineConfig(stationary=program.stationary)
@@ -95,8 +96,9 @@ class Executor:
                 build_shuffle_plans
             if not self._renumber:
                 raise ValueError("shuffle kernel requires TCSC compression")
-            self._shuffle_meta = build_shuffle_plans(
-                self.tiles, value_dtype=np.dtype(self.program.value_dtype))
+            self._shuffle_meta = shuffle_plans if shuffle_plans is not None \
+                else build_shuffle_plans(
+                    self.tiles, value_dtype=np.dtype(self.program.value_dtype))
             self._phase_shuffle_meta["main"] = self._shuffle_meta
             self._shuffle_dev = self._shuffle_meta.device_arrays(self.mesh)
 
@@ -177,6 +179,46 @@ class Executor:
         changed = changed & (tile["vids"][0] < self.graph.nv)
         return V2l, changed
 
+    def _exchange_x(self, m, c):
+        """Message exchange along the rows axis (reference: scatter/bcast,
+        vertex_program.hpp:788-1013).
+
+        Dense by default (one tiled all_gather). With
+        ``sparse_exchange_capacity = K`` and a nonstationary program, the
+        activity-filtered protocol (reference :865-966): if every
+        column-group sender's active count fits in K, exchange the
+        compacted (index, value) pairs and rebuild x on the receiver;
+        otherwise fall back to the dense gather — the per-iteration
+        sparse/dense vote the reference takes at activity ratio ≤ 0.6
+        (:767, :1378), here a psum'd fits-vote so all mesh devices take
+        the same lax.cond branch."""
+        K = self.engine.sparse_exchange_capacity
+        if not K or self.program.stationary:
+            return lax.all_gather(m, ROWS, tiled=True)
+        sem, part = self.program.semiring, self.part
+        L, R = part.L, part.R
+        K = min(K, L)
+        nact = jnp.sum(c.astype(jnp.int32))
+        fits = lax.psum((nact <= K).astype(jnp.int32), ROWS) == R
+
+        def sparse(_):
+            order = jnp.argsort(~c, stable=True)        # active slots first
+            idx = order[:K].astype(jnp.int32)
+            val = jnp.take(m, idx, axis=0)
+            ok = lax.broadcasted_iota(jnp.int32, (K, 1), 0)[:, 0] < nact
+            idx = jnp.where(ok, idx, jnp.int32(R * L))
+            gidx = lax.all_gather(idx, ROWS)             # (R, K)
+            gval = lax.all_gather(val, ROWS)
+            off = lax.broadcasted_iota(jnp.int32, (R, 1), 0) * L
+            gi = jnp.where(gidx < L, gidx + off, jnp.int32(R * L))
+            x = jnp.full((R * L,), sem.identity_like(m.dtype), m.dtype)
+            return x.at[gi.reshape(-1)].set(gval.reshape(-1), mode="drop")
+
+        def dense(_):
+            return lax.all_gather(m, ROWS, tiled=True)
+
+        return lax.cond(fits, sparse, dense, None)
+
     def _local_superstep(self, V: State, C, tile, it, phase="main"):
         """One BSP superstep; everything is device-local under shard_map.
 
@@ -189,7 +231,7 @@ class Executor:
         m = prog.messenger(Vl).astype(prog.value_dtype)         # (L,)
         if not prog.stationary:
             m = jnp.where(C[0], m, sem.identity_like(m.dtype))
-        x = lax.all_gather(m, ROWS, tiled=True)                  # (R*L,)
+        x = self._exchange_x(m, C[0])                            # (R*L,)
 
         y_own = self._combine(x, tile, phase)
         V2l, changed = self._apply(Vl, y_own, tile, it)

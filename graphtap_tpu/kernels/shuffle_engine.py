@@ -60,30 +60,28 @@ def build_shuffle_plans(tiles: TileSet, value_dtype=np.float32,
     D = part.D
     NR, NC = tiles.NR, part.tile_cols
 
-    plans = []
-    for b in range(D):
+    def _build(b, rps_, force_np=None):
         n = int(tiles.nnz[b, 0])
         r = tiles.rows[b, :n].astype(np.int64)
         c = tiles.cols[b, :n].astype(np.int64)
         w = (tiles.weights[b, :n] if tiles.weights is not None else None)
-        plans.append(build_spmv_plan(r, c, w, NR, NC, nwin=nwin,
-                                     rows_per_super=rows_per_super,
-                                     value_dtype=value_dtype))
+        return build_spmv_plan(r, c, w, NR, NC, nwin=nwin,
+                               rows_per_super=rps_,
+                               value_dtype=value_dtype,
+                               force_npasses=force_np)
+
+    plans = [_build(b, rows_per_super) for b in range(D)]
+    # shard_map runs ONE program: normalize super size (a hub-heavy device
+    # may have escalated) then pass count (extra passes are identity)
+    rps = max(p.rows_per_super for p in plans)
+    plans = [p if p.rows_per_super == rps else _build(b, rps)
+             for b, p in enumerate(plans)]
     npasses = max(p.npasses for p in plans)
-    # rebuild plans whose pass count is short (extra passes are identity)
-    for b in range(D):
-        if plans[b].npasses != npasses:
-            n = int(tiles.nnz[b, 0])
-            r = tiles.rows[b, :n].astype(np.int64)
-            c = tiles.cols[b, :n].astype(np.int64)
-            w = (tiles.weights[b, :n] if tiles.weights is not None else None)
-            plans[b] = build_spmv_plan(
-                r, c, w, NR, NC, nwin=nwin, rows_per_super=rows_per_super,
-                value_dtype=value_dtype, force_npasses=npasses)
+    plans = [p if p.npasses == npasses else _build(b, rps, npasses)
+             for b, p in enumerate(plans)]
     nsupers = max(p.nsupers for p in plans)
     smax = max(p.SMAX for p in plans)
-    total_rows = nsupers * rows_per_super
-    rps = rows_per_super
+    total_rows = nsupers * rps
 
     def pad_to(a, shape, fill):
         out = np.full(shape, fill, dtype=a.dtype)

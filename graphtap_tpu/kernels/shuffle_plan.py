@@ -124,30 +124,64 @@ def plan_monotone_expand(iv_dense: np.ndarray) -> MonotoneExpandPlan:
 
 
 def _super_boundaries(rows_sorted: np.ndarray, NR: int, e_cap: int):
-    """Split the (row-sorted) edge stream into supers owning disjoint
-    128-aligned row ranges with ≤ e_cap edges each."""
+    """Split the (row-sorted) edge stream into supers of ≤ e_cap edges.
+
+    Cuts prefer 128-aligned row boundaries (so most blocks live in one
+    super and pay chunk-alignment padding once), but a hub block larger
+    than e_cap is cut mid-block: the reduce kernel accumulates per-block
+    across chunks, so a block's partial folds from two supers combine
+    correctly — no super may exceed the VMEM row budget."""
     E = rows_sorted.size
     bounds = [0]
-    row_bounds = [0]
     pos = 0
     while pos < E:
         hi = min(E, pos + e_cap)
         if hi == E:
-            row_hi = NR
-        else:
-            # cut at a block boundary at or below rows_sorted[hi]
-            row_hi = int(rows_sorted[hi] // LANES) * LANES
-            if row_hi <= row_bounds[-1]:
-                # a single block has more than e_cap edges; give it its
-                # own super (may exceed cap — caller sizes cap with slack)
-                row_hi = row_bounds[-1] + LANES
-        pos = int(np.searchsorted(rows_sorted, row_hi, side="left"))
-        bounds.append(pos)
-        row_bounds.append(row_hi)
-        if row_hi >= NR and pos < E:
-            bounds[-1] = E
             pos = E
-    return bounds, row_bounds
+        else:
+            row_hi = int(rows_sorted[hi] // LANES) * LANES
+            cut = int(np.searchsorted(rows_sorted, row_hi, side="left"))
+            pos = cut if cut > bounds[-1] else hi
+        bounds.append(pos)
+    return bounds
+
+
+def _attempt_feasible(r0: np.ndarray, c0: np.ndarray, bounds, rps: int,
+                      NC: int) -> bool:
+    """O(E) pre-check of the two capacity constraints (run-padding row
+    budget and per-block chunk-alignment hole budget) so infeasible
+    (rps, factor) attempts cost bincounts, not the full plan build.
+
+    ``r0``/``c0``: rows/cols in row-sorted order; ``bounds``: the super
+    cuts over that order."""
+    E = r0.size
+    if E == 0:
+        return True
+    nsup = len(bounds) - 1
+    cap_el = rps * LANES
+    sizes = np.diff(bounds)
+    sup = np.repeat(np.arange(nsup), sizes)
+    # --- expand rows: one run per (super, x-window group), padded to 8 rows
+    sx3 = max(1, -(-NC // (WROWS * LANES)))
+    grp = np.minimum(c0 // (WROWS * LANES), sx3 - 1)
+    counts = np.bincount(sup * sx3 + grp, minlength=nsup * sx3)
+    run_rows = (-(-counts // LANES) + SUB - 1) // SUB * SUB
+    rows_used = run_rows.reshape(nsup, sx3).sum(axis=1)
+    if (rows_used > rps).any():
+        return False
+    # --- group holes: per-(super, block) chunk padding must fit the free
+    # positions (cap_el - occupied); (sup, block) is non-decreasing in
+    # row-sorted order -> run-length encode without sorting
+    chunk_el = RED_ROWS * LANES
+    blk = r0 // LANES
+    key = sup * (blk.max() + 1) + blk
+    newrun = np.concatenate([[True], key[1:] != key[:-1]])
+    starts = np.flatnonzero(newrun)
+    cnt = np.diff(np.concatenate([starts, [E]]))
+    pads = (-(-cnt // chunk_el)) * chunk_el - cnt
+    pads_per_sup = np.bincount(sup[starts], weights=pads, minlength=nsup)
+    free = cap_el - np.bincount(sup, minlength=nsup).astype(np.int64)
+    return bool((pads_per_sup <= free).all())
 
 
 def build_spmv_plan(rows: np.ndarray, cols: np.ndarray,
@@ -161,18 +195,32 @@ def build_spmv_plan(rows: np.ndarray, cols: np.ndarray,
     """Build the full static plan from (compact-row, local-col) edges."""
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
-    for factor in (0.75, 0.55, 0.35, 0.2, 0.1):
-        try:
-            return _build_spmv_plan(rows, cols, weights, NR, NC, nwin,
-                                    rows_per_super, smax_cap, value_dtype,
-                                    factor, force_npasses)
-        except ValueError as e:
-            last = e
+    order0 = np.argsort(rows, kind="stable")
+    r0 = rows[order0]
+    c0 = cols[order0]
+    last = ValueError("no feasible plan")
+    for rps in (rows_per_super, 2 * rows_per_super, 4 * rows_per_super,
+                8 * rows_per_super):
+        for factor in (0.75, 0.55, 0.35, 0.2, 0.1):
+            e_cap = max(LANES, int(rps * factor) * LANES)
+            bounds = _super_boundaries(r0, NR, e_cap)
+            if len(bounds) < 2:
+                bounds = [0, rows.size]
+            if not _attempt_feasible(r0, c0, bounds, rps, NC):
+                continue
+            try:
+                return _build_spmv_plan(rows, cols, weights, NR, NC, nwin,
+                                        rps, smax_cap, value_dtype,
+                                        factor, force_npasses,
+                                        order0=order0, bounds=bounds)
+            except ValueError as e:
+                last = e
     raise last
 
 
 def _build_spmv_plan(rows, cols, weights, NR, NC, nwin, rows_per_super,
-                     smax_cap, value_dtype, cap_factor, force_npasses=None):
+                     smax_cap, value_dtype, cap_factor, force_npasses=None,
+                     order0=None, bounds=None):
     E = int(rows.size)
     nblocks = max(1, -(-NR // LANES))
     rps = rows_per_super
@@ -180,23 +228,26 @@ def _build_spmv_plan(rows, cols, weights, NR, NC, nwin, rows_per_super,
     chunk_el = RED_ROWS * LANES
 
     # ---- choose the static edge order: (row_super, col, row) ----
-    order0 = np.argsort(rows, kind="stable")
+    if order0 is None:
+        order0 = np.argsort(rows, kind="stable")
     r0 = rows[order0]
-    # edge cap per super: leave room for window-group and block padding
-    e_cap = max(LANES, int(rps * cap_factor) * LANES)
-    bounds, row_bounds = _super_boundaries(r0, NR, e_cap)
-    if len(bounds) < 2:
-        bounds, row_bounds = [0, E], [0, NR]
+    if bounds is None:
+        # edge cap per super: leave room for window-group/block padding
+        e_cap = max(LANES, int(rps * cap_factor) * LANES)
+        bounds = _super_boundaries(r0, NR, e_cap)
+        if len(bounds) < 2:
+            bounds = [0, E]
     nsupers = len(bounds) - 1
-    sup_of_edge = np.zeros(E, dtype=np.int64)
-    for s in range(nsupers):
-        sup_of_edge[order0[bounds[s]:bounds[s + 1]]] = s
-
-    order = np.lexsort((rows, cols, sup_of_edge))
+    sup0 = np.repeat(np.arange(nsupers, dtype=np.int64), np.diff(bounds))
+    # the row-sorted stream is already row-ordered within each super, so
+    # one stable sort by (super, col) yields (super, col, row) order —
+    # cheaper than a 3-key lexsort at this scale
+    perm = np.argsort(sup0 * np.int64(NC) + cols[order0], kind="stable")
+    order = order0[perm]
+    sup_s = sup0[perm]
     r_s = rows[order]
     c_s = cols[order]
     w_s = np.asarray(weights)[order] if weights is not None else None
-    sup_s = sup_of_edge[order]
 
     # ---- expand layout: per (super, window group) runs padded to rows --
     xrow = c_s // LANES

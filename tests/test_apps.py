@@ -102,3 +102,43 @@ def test_checksum_reachable_counts(mesh, rmat10_edges):
     mask = hops_g != golden.INF
     assert reachable == int(mask.sum())
     assert total == pytest.approx(float(hops_g[mask].sum()))
+
+
+@pytest.mark.parametrize("capacity", [8, 64, 100000])
+def test_bfs_sparse_exchange(mesh, rmat10_edges, capacity):
+    """Activity-filtered exchange (reference: scatter/gather_nonstationary,
+    vertex_program.hpp:865-966): sparse/dense vote per iteration must not
+    change any result. Small capacities force mid-run dense fallbacks."""
+    from graphtap_tpu.apps.bfs import BFSProgram
+    from graphtap_tpu.config import EngineConfig, Ordering
+    from graphtap_tpu.engine.executor import Executor
+
+    src, dst = rmat10_edges
+    g = Graph.from_edges(src, dst, None, bfs_config(1024), mesh=mesh)
+    ex = Executor(g, BFSProgram(root=0),
+                  EngineConfig(stationary=False, apply_depends_on_iter=True,
+                               ordering=Ordering.ROW,
+                               sparse_exchange_capacity=capacity))
+    ex.initialize()
+    ex.execute(0)
+    sv = ex.state_vector()
+    parent_g, hops_g = golden.bfs(src, dst, NV, root=0)
+    np.testing.assert_array_equal(sv["hops"].astype(np.int64), hops_g)
+
+
+def test_sssp_sparse_exchange(mesh, rmat10_w_edges):
+    from graphtap_tpu.apps.sssp import SSSPProgram
+    from graphtap_tpu.config import EngineConfig, Ordering
+    from graphtap_tpu.engine.executor import Executor
+
+    src, dst, w = rmat10_w_edges
+    g = Graph.from_edges(src, dst, w, sssp_config(1024), mesh=mesh)
+    ex = Executor(g, SSSPProgram(root=0),
+                  EngineConfig(stationary=False, gather_depends_on_apply=True,
+                               ordering=Ordering.ROW,
+                               sparse_exchange_capacity=32))
+    ex.initialize()
+    ex.execute(0)
+    dist = ex.state_vector()["distance"]
+    gold = golden.sssp(src, dst, w, NV, root=0)
+    np.testing.assert_array_equal(dist.astype(np.int64), gold)

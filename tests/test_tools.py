@@ -68,3 +68,76 @@ def test_pr1_two_load():
                                value_dtype=jnp.float64)
     total, _ = ex.checksum()
     assert total == pytest.approx(317.0176895329694, rel=1e-9)
+
+
+def test_checkpoint_resume(tmp_path):
+    """Save at iteration 10, restore into a fresh executor, run 10 more:
+    must bit-match the straight 20-iteration run."""
+    import jax
+    import jax.numpy as jnp
+    from graphtap_tpu import Graph, GraphConfig, Compression, make_mesh
+    from graphtap_tpu.apps.degree import DegreeProgram
+    from graphtap_tpu.apps.pagerank import PageRankProgram
+    from graphtap_tpu.config import EngineConfig, Ordering
+    from graphtap_tpu.engine.executor import Executor
+    from graphtap_tpu.tools.checkpoint import save_state, load_state
+
+    mesh = make_mesh(jax.devices()[:4], shape=(2, 2))
+    cfg = GraphConfig(num_vertices=1024, directed=True, transpose=True,
+                      compression=Compression.TCSC)
+    g = Graph.load(RMAT10, cfg, mesh=mesh)
+
+    def fresh_pr():
+        deg_ex = Executor(g, DegreeProgram(value_dtype=jnp.float64),
+                          EngineConfig(stationary=True, ordering=Ordering.COL))
+        deg_ex.initialize()
+        deg_ex.execute(1)
+        ex = Executor(g, PageRankProgram(value_dtype=jnp.float64),
+                      EngineConfig(stationary=True, ordering=Ordering.ROW))
+        ex.initialize(other=deg_ex)
+        return ex
+
+    straight = fresh_pr()
+    straight.execute(20)
+
+    first = fresh_pr()
+    first.execute(10)
+    path = str(tmp_path / "pr_it10.npz")
+    save_state(first, path)
+
+    resumed = fresh_pr()
+    assert load_state(resumed, path) == 10
+    resumed.execute(10)
+
+    np.testing.assert_array_equal(resumed.state_vector()["rank"],
+                                  straight.state_vector()["rank"])
+    assert resumed.checksum() == straight.checksum()
+
+
+def test_checkpoint_shape_mismatch_rejected(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from graphtap_tpu import Graph, GraphConfig, Compression, make_mesh
+    from graphtap_tpu.apps.degree import DegreeProgram
+    from graphtap_tpu.config import EngineConfig, Ordering
+    from graphtap_tpu.engine.executor import Executor
+    from graphtap_tpu.tools.checkpoint import save_state, load_state
+
+    mesh = make_mesh(jax.devices()[:1], shape=(1, 1))
+    cfg = GraphConfig(num_vertices=1024, directed=True, transpose=False,
+                      compression=Compression.TCSC)
+    g = Graph.load(RMAT10, cfg, mesh=mesh)
+    ex = Executor(g, DegreeProgram(value_dtype=jnp.float64),
+                  EngineConfig(stationary=True, ordering=Ordering.ROW))
+    ex.initialize()
+    path = str(tmp_path / "deg.npz")
+    save_state(ex, path)
+
+    cfg2 = GraphConfig(num_vertices=2048, directed=True, transpose=False,
+                       compression=Compression.TCSC)
+    g2 = Graph.load(RMAT10, cfg2, mesh=mesh)
+    ex2 = Executor(g2, DegreeProgram(value_dtype=jnp.float64),
+                   EngineConfig(stationary=True, ordering=Ordering.ROW))
+    ex2.initialize()
+    with pytest.raises(ValueError):
+        load_state(ex2, path)
