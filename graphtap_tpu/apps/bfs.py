@@ -66,10 +66,11 @@ def bfs_config(num_vertices: int) -> GraphConfig:
                        parallel_edges=False, compression=Compression.TCSC)
 
 
-def run_bfs(graph: Graph, root: int = 0) -> Executor:
+def run_bfs(graph: Graph, root: int = 0, kernel: str = "scan") -> Executor:
     ex = Executor(graph, BFSProgram(root=root),
                   EngineConfig(stationary=False, apply_depends_on_iter=True,
-                               ordering=Ordering.ROW))
+                               ordering=Ordering.ROW),
+                  kernel=kernel)
     ex.initialize()
     ex.execute(0)
     return ex

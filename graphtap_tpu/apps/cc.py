@@ -54,10 +54,11 @@ def cc_config(num_vertices: int) -> GraphConfig:
                        parallel_edges=False, compression=Compression.TCSC)
 
 
-def run_cc(graph: Graph) -> Executor:
+def run_cc(graph: Graph, kernel: str = "scan") -> Executor:
     ex = Executor(graph, CCProgram(),
                   EngineConfig(stationary=False, gather_depends_on_apply=True,
-                               ordering=Ordering.ROW))
+                               ordering=Ordering.ROW),
+                  kernel=kernel)
     ex.initialize()
     ex.execute(0)
     return ex

@@ -43,11 +43,12 @@ class DegreeProgram(VertexProgram):
 
 
 def run_degree(graph: Graph, value_dtype=jnp.float32,
-               ordering: Ordering = Ordering.ROW) -> Executor:
+               ordering: Ordering = Ordering.ROW, kernel: str = "scan") -> Executor:
     """Out-degree of the stored matrix (deg.cpp: directed, untransposed,
     _ROW_ → y[src] = Σ 1 over out-edges)."""
     prog = DegreeProgram(value_dtype=value_dtype)
-    ex = Executor(graph, prog, EngineConfig(stationary=True, ordering=ordering))
+    ex = Executor(graph, prog, EngineConfig(stationary=True, ordering=ordering),
+                  kernel=kernel)
     ex.initialize()
     ex.execute(1)
     return ex

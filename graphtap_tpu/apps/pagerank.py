@@ -69,7 +69,7 @@ class PageRankProgram(VertexProgram):
 
 
 def run_pagerank(graph: Graph, num_iterations: int = 0,
-                 value_dtype=jnp.float32) -> Executor:
+                 value_dtype=jnp.float32, kernel: str = "scan") -> Executor:
     """The pr.cpp pipeline on an already-loaded (transposed) graph.
 
     ``graph`` must have been loaded with transpose=True (pr.cpp:31).
@@ -77,13 +77,15 @@ def run_pagerank(graph: Graph, num_iterations: int = 0,
     """
     deg = DegreeProgram(value_dtype=value_dtype)
     deg_ex = Executor(graph, deg,
-                      EngineConfig(stationary=True, ordering=Ordering.COL))
+                      EngineConfig(stationary=True, ordering=Ordering.COL),
+                      kernel=kernel)
     deg_ex.initialize()
     deg_ex.execute(1)
 
     pr = PageRankProgram(value_dtype=value_dtype)
     pr_ex = Executor(graph, pr,
-                     EngineConfig(stationary=True, ordering=Ordering.ROW))
+                     EngineConfig(stationary=True, ordering=Ordering.ROW),
+                     kernel=kernel)
     pr_ex.initialize(other=deg_ex)
     pr_ex.execute(num_iterations)
     return pr_ex

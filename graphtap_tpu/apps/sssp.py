@@ -67,10 +67,11 @@ def sssp_config(num_vertices: int, weighted: bool = True) -> GraphConfig:
                        compression=Compression.TCSC)
 
 
-def run_sssp(graph: Graph, root: int = 0, weighted: bool = True) -> Executor:
+def run_sssp(graph: Graph, root: int = 0, weighted: bool = True, kernel: str = "scan") -> Executor:
     ex = Executor(graph, SSSPProgram(root=root, weighted=weighted),
                   EngineConfig(stationary=False, gather_depends_on_apply=True,
-                               ordering=Ordering.ROW))
+                               ordering=Ordering.ROW),
+                  kernel=kernel)
     ex.initialize()
     ex.execute(0)
     return ex

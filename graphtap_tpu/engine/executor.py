@@ -73,7 +73,8 @@ class Executor:
         self.graph = graph
         self.program = program
         self.engine = engine or EngineConfig(stationary=program.stationary)
-        # 'shuffle' — the Pallas static-shuffle pipeline (TPU fast path);
+        # 'shuffle2' — the v2 windowed-gather pipeline (TPU fast path);
+        # 'shuffle' — the v1 Pallas static-shuffle pipeline;
         # 'scan'    — XLA segmented associative scan (portable);
         # 'segment' — jax.ops.segment_* (slow XLA scatter lowering on TPU).
         self.kernel = kernel
@@ -98,6 +99,13 @@ class Executor:
                 raise ValueError("shuffle kernel requires TCSC compression")
             self._shuffle_meta = shuffle_plans if shuffle_plans is not None \
                 else build_shuffle_plans(
+                    self.tiles, value_dtype=np.dtype(self.program.value_dtype))
+            self._phase_shuffle_meta["main"] = self._shuffle_meta
+            self._shuffle_dev = self._shuffle_meta.device_arrays(self.mesh)
+        elif self.kernel == "shuffle2":
+            from graphtap_tpu.kernels.gather_engine import build_spmv2_meta
+            self._shuffle_meta = shuffle_plans if shuffle_plans is not None \
+                else build_spmv2_meta(
                     self.tiles, value_dtype=np.dtype(self.program.value_dtype))
             self._phase_shuffle_meta["main"] = self._shuffle_meta
             self._shuffle_dev = self._shuffle_meta.device_arrays(self.mesh)
@@ -131,13 +139,18 @@ class Executor:
         vertex_program.hpp:1017-1573)."""
         sem, part = self.program.semiring, self.part
         L, Cc = part.L, part.C
-        if self.kernel == "shuffle":
-            from graphtap_tpu.kernels.shuffle_engine import spmv_local
+        if self.kernel in ("shuffle", "shuffle2"):
             meta = self._phase_shuffle_meta[phase]
             plan_local = {k: tile[k][0] for k in meta.arrays}
             interp = self.mesh.devices.flat[0].platform != "tpu"
-            y_dense = spmv_local(x, plan_local, meta, sem,
-                                 dense_len=Cc * L, interpret=interp)
+            if self.kernel == "shuffle":
+                from graphtap_tpu.kernels.shuffle_engine import spmv_local
+                y_dense = spmv_local(x, plan_local, meta, sem,
+                                     dense_len=Cc * L, interpret=interp)
+            else:
+                from graphtap_tpu.kernels.gather_engine import spmv2_local
+                y_dense = spmv2_local(x, plan_local, meta, sem,
+                                      dense_len=Cc * L, interpret=interp)
             if sem.reduce_kind == "sum":
                 return lax.psum_scatter(y_dense, COLS,
                                         scatter_dimension=0, tiled=True)
@@ -254,7 +267,7 @@ class Executor:
     # ---------------------------------------------------------------- loops
     @functools.cached_property
     def _tile_pytree(self):
-        if self.kernel == "shuffle":
+        if self.kernel in ("shuffle", "shuffle2"):
             t = dict(self._shuffle_dev)
             t["vids"] = self._vids
             t["i_own"] = self._dev_tiles["i_own"]
@@ -299,8 +312,15 @@ class Executor:
             dev = ts.device_arrays(self.mesh)
             if self.kernel == "shuffle":
                 from graphtap_tpu.kernels.shuffle_engine import \
-                    build_shuffle_plans, ShufflePlans
+                    build_shuffle_plans
                 meta = build_shuffle_plans(
+                    ts, value_dtype=np.dtype(self.program.value_dtype))
+                self._phase_shuffle_meta[ph] = meta
+                t = dict(meta.device_arrays(self.mesh))
+            elif self.kernel == "shuffle2":
+                from graphtap_tpu.kernels.gather_engine import \
+                    build_spmv2_meta
+                meta = build_spmv2_meta(
                     ts, value_dtype=np.dtype(self.program.value_dtype))
                 self._phase_shuffle_meta[ph] = meta
                 t = dict(meta.device_arrays(self.mesh))

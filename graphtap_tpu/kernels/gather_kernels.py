@@ -1,0 +1,140 @@
+"""The windowed-gather Pallas kernel: one primitive for the v2 SpMV pipeline.
+
+Implements an arbitrary *static* gather (permutation with duplication) from
+a 2D source table to an output stream, under a window-locality constraint
+planned host-side (kernels/gather_plan.py). Every stage of the v2 pipeline
+is one application of this kernel:
+
+  expand      — source = the gathered x vector as a (NC/128, 128) table;
+                output = per-edge contributions in (super, col)-sorted
+                stream order (reference's x-gather, the inner
+                ``x[JC[j]]`` reads of spmv_stationary,
+                vertex_program.hpp:1162-1216).
+  radix pass  — source = the previous stream; output = the stream stably
+                partitioned by the next 2 bits of the destination-block
+                code (replaces the reference's per-rank serial scatter —
+                the TPU has no scatter, so the plan routes every element
+                through lane/sublane crossbars instead).
+  mexp        — source = the compact (renumbered) y table; output = the
+                dense row block (the IR expansion of TCSC_BASE,
+                compressed_column.hpp:274-297).
+
+Kernel contract (all shapes static, planned host-side):
+  grid = (nsteps, NSUB); output block (8, 128) revisited across the NSUB
+  inner dimension. Per (step i, subop s):
+    u[j, l]   = src[wsel[i*NSUB+s]*8 + j, cidx[i*NSUB+s, j, l]]
+    g[ri, l]  = u[jsel[ri, l], l]           (jsel = meta & 7)
+    out[ri,l] = g where (meta >> 3) == s    (sid 31 = slot invalid)
+  After the last subop the optional weight stream is ⊗-applied and invalid
+  slots are filled with the ⊕-identity.
+
+Mosaic notes (docs/KERNEL_NOTES.md): lane crossbar = take_along_axis
+axis=1 on (8,128); sublane crossbar = axis=0 (S=8 only); int8 streams must
+be upcast to i32 before compares; scalars only from SMEM prefetch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUB = 8
+SID_INVALID = 31
+
+
+def _wg_body(nsub, mul_kind, fill, has_w,
+             wsel_ref, nact_ref, src_ref, cidx_ref, meta_ref, w_ref,
+             out_ref):
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+
+    meta32 = meta_ref[0].astype(jnp.int32)            # (8,128)
+    sid = meta32 >> 3
+
+    @pl.when(s == 0)
+    def _():
+        out_ref[...] = jnp.full_like(out_ref, fill)
+
+    @pl.when(s < nact_ref[i])
+    def _():
+        c32 = cidx_ref[0].astype(jnp.int32)
+        u = jnp.take_along_axis(src_ref[...], c32, axis=1)
+        j32 = meta32 & 7
+        g = jnp.take_along_axis(u, j32, axis=0)
+        out_ref[...] = jnp.where(sid == s, g, out_ref[...])
+
+    if has_w or mul_kind != "none":
+        @pl.when(s == nsub - 1)
+        def _():
+            acc = out_ref[...]
+            if mul_kind == "mul":
+                acc = acc * w_ref[0]
+            elif mul_kind == "add_sat":
+                # min-plus ⊗ with INF guard (reference: sssp.h:49-56)
+                acc = jnp.where(acc >= jnp.asarray(fill, acc.dtype),
+                                jnp.asarray(fill, acc.dtype),
+                                acc + w_ref[0])
+            out_ref[...] = jnp.where(sid == SID_INVALID,
+                                     jnp.full_like(acc, fill), acc)
+
+
+def windowed_gather(src2d, wsel, nact, cidx, meta, weights, fill,
+                    out_rows: int, nsub: int, mul_kind: str = "none",
+                    interpret: bool = False):
+    """Run the windowed-gather kernel.
+
+    src2d:   (S, 128) source table (S multiple of 8).
+    wsel:    (nsteps*nsub,) int32 window block index (8-row units) per
+             (step, subop); repeats the previous value on idle subops so
+             the revolving input buffer skips the DMA.
+    nact:    (nsteps,) int32 active subop count per step.
+    cidx:    (nsteps*nsub, 8, 128) int8 source-lane index per window slot.
+    meta:    (nsteps, 8, 128) uint8 per output slot: j(3 bits)|sid(5 bits);
+             sid=31 marks an invalid slot (filled with ``fill``).
+    weights: (nsteps, 8, 128) value-dtype ⊗-operand stream or None.
+    Returns (out_rows, 128) of src2d.dtype.
+    """
+    nsteps = out_rows // SUB
+    has_w = weights is not None
+    kern = functools.partial(_wg_body, nsub, mul_kind, fill, has_w)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nsteps, nsub),
+        in_specs=[
+            pl.BlockSpec((SUB, LANES), lambda i, s, w, n: (w[i * nsub + s], 0)),
+            pl.BlockSpec((1, SUB, LANES), lambda i, s, w, n: (i * nsub + s, 0, 0)),
+            pl.BlockSpec((1, SUB, LANES), lambda i, s, w, n: (i, 0, 0)),
+            pl.BlockSpec((1, SUB, LANES), lambda i, s, w, n: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((SUB, LANES), lambda i, s, w, n: (i, 0)),
+    )
+    if has_w:
+        wstream = weights
+    else:
+        wstream = jnp.zeros((1, SUB, LANES), src2d.dtype)
+        # idle weight stream: constant index map keeps one resident block
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nsteps, nsub),
+            in_specs=[
+                pl.BlockSpec((SUB, LANES),
+                             lambda i, s, w, n: (w[i * nsub + s], 0)),
+                pl.BlockSpec((1, SUB, LANES),
+                             lambda i, s, w, n: (i * nsub + s, 0, 0)),
+                pl.BlockSpec((1, SUB, LANES), lambda i, s, w, n: (i, 0, 0)),
+                pl.BlockSpec((1, SUB, LANES), lambda i, s, w, n: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((SUB, LANES), lambda i, s, w, n: (i, 0)),
+        )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_rows, LANES), src2d.dtype),
+        interpret=interpret,
+    )(wsel, nact, src2d, cidx, meta, wstream)

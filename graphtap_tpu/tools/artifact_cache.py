@@ -86,6 +86,24 @@ def load_shuffle_plans(path: str):
     return ShufflePlans(arrays=arrays, **meta)
 
 
+# -------------------------------------------------------------- Spmv2Meta
+def save_spmv2_meta(m, path: str) -> None:
+    meta = {k: getattr(m, k) for k in
+            ("NC", "nblocks", "dense_rows", "final_rows", "npasses", "has_w",
+             "nsub", "out_rows")}
+    arrays = dict(m.arrays)
+    arrays[_META] = _pack_meta(meta)
+    np.savez(path, **arrays)
+
+
+def load_spmv2_meta(path: str):
+    from graphtap_tpu.kernels.gather_engine import Spmv2Meta
+    with np.load(path) as z:
+        meta = _unpack_meta(z[_META])
+        arrays = {k: z[k] for k in z.files if k != _META}
+    return Spmv2Meta(arrays=arrays, **meta)
+
+
 # ------------------------------------------------------------- edge lists
 def cached_rmat(scale: int, edge_factor: int, seed: int,
                 cache_dir: str, weighted: bool = False):

@@ -1,6 +1,6 @@
-"""Engine-level tests of the shuffle kernel path: the same golden-oracle
-apps as test_apps.py, run with kernel='shuffle' (interpret mode on the
-CPU mesh)."""
+"""Engine-level tests of the Pallas kernel paths: the same golden-oracle
+apps as test_apps.py, run with kernel='shuffle' (v1) and 'shuffle2' (the
+v2 windowed-gather pipeline) in interpret mode on the CPU mesh."""
 
 import numpy as np
 import pytest
@@ -29,7 +29,12 @@ def mesh(request):
     return make_mesh(jax.devices()[: r * c], shape=(r, c))
 
 
-def test_pagerank_shuffle(mesh, rmat10_edges):
+@pytest.fixture(params=["shuffle", "shuffle2"])
+def kernel(request):
+    return request.param
+
+
+def test_pagerank_shuffle(mesh, kernel, rmat10_edges):
     src, dst = rmat10_edges
     cfg = GraphConfig(num_vertices=1024, directed=True, transpose=True,
                       compression=Compression.TCSC)
@@ -37,7 +42,7 @@ def test_pagerank_shuffle(mesh, rmat10_edges):
 
     deg_ex = Executor(g, DegreeProgram(value_dtype=jnp.float64),
                       EngineConfig(stationary=True, ordering=Ordering.COL),
-                      kernel="shuffle")
+                      kernel=kernel)
     deg_ex.initialize()
     deg_ex.execute(1)
     deg = deg_ex.state_vector()["degree"]
@@ -46,7 +51,7 @@ def test_pagerank_shuffle(mesh, rmat10_edges):
 
     pr_ex = Executor(g, PageRankProgram(value_dtype=jnp.float64),
                      EngineConfig(stationary=True, ordering=Ordering.ROW),
-                     kernel="shuffle")
+                     kernel=kernel)
     pr_ex.initialize(other=deg_ex)
     pr_ex.execute(20)
     total, reachable = pr_ex.checksum()
@@ -56,15 +61,32 @@ def test_pagerank_shuffle(mesh, rmat10_edges):
                                rtol=1e-10, atol=1e-12)
 
 
-def test_bfs_shuffle(mesh, rmat10_edges):
+def test_bfs_shuffle(mesh, kernel, rmat10_edges):
     src, dst = rmat10_edges
     g = Graph.from_edges(src, dst, None, bfs_config(1024), mesh=mesh)
     ex = Executor(g, BFSProgram(root=0),
                   EngineConfig(stationary=False, apply_depends_on_iter=True,
                                ordering=Ordering.ROW),
-                  kernel="shuffle")
+                  kernel=kernel)
     ex.initialize()
     ex.execute(0)
     sv = ex.state_vector()
     parent_g, hops_g = golden.bfs(src, dst, NV, root=0)
     np.testing.assert_array_equal(sv["hops"].astype(np.int64), hops_g)
+
+
+def test_sssp_shuffle2(mesh, rmat10_w_edges):
+    """Weighted min-plus through the v2 pipeline (⊗ = add_sat in the
+    expand kernel's weight application)."""
+    from graphtap_tpu.apps.sssp import SSSPProgram, sssp_config
+    src, dst, w = rmat10_w_edges
+    g = Graph.from_edges(src, dst, w, sssp_config(1024), mesh=mesh)
+    ex = Executor(g, SSSPProgram(root=0),
+                  EngineConfig(stationary=False, gather_depends_on_apply=True,
+                               ordering=Ordering.ROW),
+                  kernel="shuffle2")
+    ex.initialize()
+    ex.execute(0)
+    sv = ex.state_vector()
+    dist_g = golden.sssp(src, dst, w, NV, root=0)
+    np.testing.assert_array_equal(sv["distance"].astype(np.int64), dist_g)
