@@ -31,7 +31,7 @@ SCALE = int(os.environ.get("BENCH_SCALE", "20"))
 EDGE_FACTOR = 16
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 SEED = 1
-KERNEL = os.environ.get("BENCH_KERNEL", "shuffle")
+KERNEL = os.environ.get("BENCH_KERNEL", "shuffle2")
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 
@@ -65,6 +65,16 @@ def get_artifacts(graph, ordering, kernel, value_dtype):
                                         value_dtype=np.dtype(value_dtype))
             ac.save_shuffle_plans(plans, pp)
         log(f"[bench] plans({ordering.value}) ready")
+    elif kernel == "shuffle2":
+        pp = os.path.join(CACHE,
+                          f"plans2_{key}_{np.dtype(value_dtype).name}.npz")
+        if os.path.exists(pp):
+            plans = ac.load_spmv2_meta(pp)
+        else:
+            from graphtap_tpu.kernels.gather_engine import build_spmv2_meta
+            plans = build_spmv2_meta(tiles, value_dtype=np.dtype(value_dtype))
+            ac.save_spmv2_meta(plans, pp)
+        log(f"[bench] plans2({ordering.value}) ready")
     return tiles, plans
 
 

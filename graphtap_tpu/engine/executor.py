@@ -394,6 +394,52 @@ class Executor:
         return jax.jit(shmapped, static_argnums=())
 
     @functools.cached_property
+    def _run_converge_cf(self):
+        """TCSC_CF convergence mode (reference: execute() with
+        num_iterations=0 on a CF matrix — first-phase step, middle-phase
+        steps with the regular-rows-only convergence vote (the middle
+        apply mask IS the regular set, vertex_program.hpp:1885-1923), and
+        the post-convergence last-phase flush with the stale x
+        (:425-429, :1671-1692)."""
+        mesh, part = self.mesh, self.part
+        D = part.D
+
+        def run(V, C, t_first, t_mid, t_last):
+            t_first_ = self._tile_with_w(t_first)
+            t_mid_ = self._tile_with_w(t_mid)
+            t_last_ = self._tile_with_w(t_last)
+            V, C, m, votes = self._local_superstep(V, C, t_first_,
+                                                   jnp.int32(0), "first")
+
+            def cond(carry):
+                _V, _C, _m, it, converged = carry
+                return (~converged) & (it < _MAX_CONVERGENCE_ITERS)
+
+            def body(carry):
+                V, C, _m, it, _conv = carry
+                V2, C2, m, votes = self._local_superstep(V, C, t_mid_, it,
+                                                         "middle")
+                return (V2, C2, m, it + 1, votes == D)
+
+            V, C, m, it, _ = lax.while_loop(
+                cond, body, (V, C, m, jnp.int32(1), votes == D))
+            V, C = self._local_flush(V, C, t_last_, m, it, "last")
+            return V, C, it
+
+        spec1 = _spec(1)
+        trees = self._cf_pytrees
+        shmapped = jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(spec1, spec1,
+                      jax.tree.map(lambda _: spec1, dict(trees["first"])),
+                      jax.tree.map(lambda _: spec1, dict(trees["middle"])),
+                      jax.tree.map(lambda _: spec1, dict(trees["last"])),),
+            out_specs=(spec1, spec1, P()),
+            check_vma=False,
+        )
+        return jax.jit(shmapped)
+
+    @functools.cached_property
     def _run_converge(self):
         mesh, part = self.mesh, self.part
         D = part.D
@@ -437,15 +483,21 @@ class Executor:
         niters = self.engine.num_iterations if num_iterations is None \
             else num_iterations
         tile = self._tile_pytree
-        use_cf = (self.tiles.compression == Compression.TCSC_CF
-                  and niters and niters > 1)
-        if use_cf:
+        is_cf = self.tiles.compression == Compression.TCSC_CF
+        if is_cf and niters and niters > 1:
             trees = self._cf_pytrees
             V, C = self._run_fixed_cf(self.state, self.changed,
                                       trees["first"], trees["middle"],
                                       trees["last"], niters)
             self.state, self.changed = V, C
             self.iteration = niters
+        elif is_cf and not niters:
+            trees = self._cf_pytrees
+            V, C, it = self._run_converge_cf(self.state, self.changed,
+                                             trees["first"], trees["middle"],
+                                             trees["last"])
+            self.state, self.changed = V, C
+            self.iteration = int(it)
         elif niters and niters > 0:
             V, C = self._run_fixed(self.state, self.changed, tile, niters)
             self.state, self.changed = V, C
@@ -459,10 +511,14 @@ class Executor:
 
     # -------------------------------------------------------------- oracles
     def state_vector(self) -> Dict[str, np.ndarray]:
-        """Full state in vertex-id order, truncated to nv (host-side)."""
+        """Full state in vertex-id order, truncated to nv. Multi-process
+        safe: non-addressable shards are fetched with
+        multihost_utils.process_allgather (reference analog: the master
+        gather of checksum1, vertex_program.hpp:1963-2119)."""
+        from graphtap_tpu.parallel.multihost import allgather_state
         out = {}
         for k, v in self.state.items():
-            arr = np.asarray(v)
+            arr = allgather_state(v)
             out[k] = self.part.to_vertex_order(arr)[: self.graph.nv]
         return out
 

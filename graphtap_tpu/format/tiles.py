@@ -76,12 +76,15 @@ class TileSet:
     nnzcols: np.ndarray          # (D, 1) int32 nnz cols of the device's col group
 
     def device_arrays(self, mesh: Mesh):
-        """Place the stacked arrays on the mesh (leading axis device-sharded)."""
+        """Place the stacked arrays on the mesh (leading axis device-sharded).
+        Multi-process: every host contributes its addressable devices' rows
+        (parallel/multihost.py::put_device_stacked)."""
+        from graphtap_tpu.parallel.multihost import put_device_stacked
+
         def put(a):
             if a is None:
                 return None
-            spec = P((ROWS, COLS), *([None] * (a.ndim - 1)))
-            return jax.device_put(a, NamedSharding(mesh, spec))
+            return put_device_stacked(a, mesh)
         return {
             "rows": put(self.rows),
             "cols": put(self.cols),
@@ -208,6 +211,12 @@ def build_tileset(
     rows_mask[i_e, lr] = True
     cols_mask = np.zeros((C, R * L), dtype=bool)
     cols_mask[j_e, lc] = True
+    # multi-process: each host sees only its devices' edges (post
+    # exchange_edges); OR the partial bitvectors like the reference's
+    # leader combine (matrix.hpp:990-1006). No-ops single-process.
+    from graphtap_tpu.parallel import multihost as mh
+    rows_mask = mh.global_or(rows_mask)
+    cols_mask = mh.global_or(cols_mask)
 
     # prefix renumbering IV (reference: matrix.hpp:1044-1097)
     iv = np.cumsum(rows_mask, axis=1, dtype=np.int64) - 1  # valid where mask
@@ -255,8 +264,13 @@ def build_tileset(
         per_w.append(bw)
         per_nnz.append(blr.size)
 
-    nnz_total = int(sum(per_nnz))
-    Ep = _round_up(max(per_nnz + [1]), edge_align)
+    # per-device counts are exact on the owning host and zero elsewhere,
+    # so the global count vector is the element-wise max / sum across
+    # processes (reference invariant: matrix.hpp:802-804)
+    per_nnz_g = mh.global_max(np.asarray(per_nnz, np.int64))
+    nnz_total = int(mh.global_sum(np.asarray(per_nnz, np.int64)).sum())
+    Ep = _round_up(int(max(int(per_nnz_g.max()) if per_nnz_g.size else 0, 1)),
+                   edge_align)
 
     if renumber:
         NR = _round_up(int(max(nnzrows_grp.max(), 1)), 128)

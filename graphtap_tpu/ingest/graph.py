@@ -47,10 +47,18 @@ class Graph:
     @classmethod
     def load(cls, path: str, config: GraphConfig,
              mesh: Optional[Mesh] = None) -> "Graph":
+        """Load an edge list. In a multi-process run every process reads
+        its 1/nprocs byte range (reference: parread_*, graph.hpp:234-240)
+        and the shares are exchanged so each process ends with exactly its
+        devices' edges (reference: Matrix::distribute all-to-all,
+        matrix.hpp:692-810 → parallel/multihost.py::exchange_edges)."""
+        import jax
         if mesh is None:
             mesh = make_mesh()
-        r, c, w = read_edge_list(path, has_weight=config.has_weight)
-        return cls._from_raw(r, c, w, config, mesh)
+        pidx, pcnt = jax.process_index(), jax.process_count()
+        r, c, w = read_edge_list(path, has_weight=config.has_weight,
+                                 process_index=pidx, process_count=pcnt)
+        return cls._from_raw(r, c, w, config, mesh, distributed=pcnt > 1)
 
     @classmethod
     def from_edges(cls, r, c, w, config: GraphConfig,
@@ -62,7 +70,8 @@ class Graph:
                              None if w is None else np.asarray(w), config, mesh)
 
     @classmethod
-    def _from_raw(cls, r, c, w, config: GraphConfig, mesh: Mesh) -> "Graph":
+    def _from_raw(cls, r, c, w, config: GraphConfig, mesh: Mesh,
+                  distributed: bool = False) -> "Graph":
         r, c, w = apply_transforms(
             r, c, w,
             directed=config.directed, transpose=config.transpose,
@@ -72,6 +81,9 @@ class Graph:
             raise ValueError("edge endpoint exceeds num_vertices")
         R, C = mesh.devices.shape
         part = Partition.build(nv, R, C, segment_align=config.segment_align)
+        if distributed:
+            from graphtap_tpu.parallel.multihost import exchange_edges
+            r, c, w = exchange_edges(r, c, w, part, mesh)
         return cls(config=config, part=part, mesh=mesh, r=r, c=c, w=w)
 
     def tiled(self, ordering: Ordering = Ordering.ROW,

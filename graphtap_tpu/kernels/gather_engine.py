@@ -26,7 +26,7 @@ from graphtap_tpu.kernels.semiring import Semiring
 from graphtap_tpu.kernels.gather_plan import (Spmv2Plan, build_spmv2_plan,
                                               GatherPlan, LANES, SUB,
                                               SID_INVALID, NPASSES)
-from graphtap_tpu.kernels.gather_kernels import windowed_gather
+from graphtap_tpu.kernels.gather_kernels import windowed_gather, SEG_STEPS
 from graphtap_tpu.kernels.shuffle_kernels import grouped_reduce
 
 _STAGES = ["exp"] + [f"p{p}" for p in range(NPASSES)] + ["mx"]
@@ -46,13 +46,9 @@ class Spmv2Meta:
     arrays: Dict[str, np.ndarray]
 
     def device_arrays(self, mesh):
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from graphtap_tpu.parallel.layout import ROWS, COLS
-        out = {}
-        for k, a in self.arrays.items():
-            spec = P((ROWS, COLS), *([None] * (a.ndim - 1)))
-            out[k] = jax.device_put(a, NamedSharding(mesh, spec))
-        return out
+        from graphtap_tpu.parallel.multihost import put_device_stacked
+        return {k: put_device_stacked(a, mesh)
+                for k, a in self.arrays.items()}
 
 
 def _pad_gather_plan(g: GatherPlan, nsteps: int, nsub: int,
@@ -106,10 +102,21 @@ def build_spmv2_meta(tiles: TileSet, value_dtype=np.float32,
             r, c, w, tiles.NR, NC, dense_len, iv,
             value_dtype=value_dtype, bchg_cap=bchg_cap))
 
-    nblocks = max(p.nblocks for p in plans)
+    # normalization dims must agree across the whole mesh — in a
+    # multi-process run each host planned only its own devices' tiles
+    from graphtap_tpu.parallel import multihost as mh
+
+    def _seg_round(rows):
+        # segmented kernel calls need a whole number of SEG_STEPS segments
+        steps = rows // SUB
+        if steps > SEG_STEPS:
+            steps = -(-steps // SEG_STEPS) * SEG_STEPS
+        return steps * SUB
+
+    nblocks = int(mh.global_max(max(p.nblocks for p in plans)))
     nblocks = -(-nblocks // SUB) * SUB
-    final_rows = max(p.lr.shape[0] for p in plans)
-    dense_rows = max(p.dense_rows for p in plans)
+    dense_rows = _seg_round(int(mh.global_max(max(p.dense_rows
+                                                  for p in plans))))
 
     def stage_plans(key):
         if key == "exp":
@@ -124,15 +131,17 @@ def build_spmv2_meta(tiles: TileSet, value_dtype=np.float32,
     prev_rows = plans[0].expand.src_rows  # x table rows — same all devices
     for k in _STAGES:
         gs = stage_plans(k)
-        nsub[k] = max(g.nsub for g in gs)
+        nsub[k] = int(mh.global_max(max(g.nsub for g in gs)))
         if k == "mx":
             out_rows[k] = dense_rows
             src_rows[k] = nblocks
         else:
-            out_rows[k] = max(g.out_rows for g in gs)
+            out_rows[k] = _seg_round(
+                int(mh.global_max(max(g.out_rows for g in gs))))
             src_rows[k] = prev_rows if k == "exp" else out_rows[
                 _STAGES[_STAGES.index(k) - 1]]
             prev_rows = out_rows[k]
+    final_rows = out_rows[f"p{NPASSES - 1}"]
 
     arrs: Dict[str, List[np.ndarray]] = {}
     has_w = tiles.weights is not None

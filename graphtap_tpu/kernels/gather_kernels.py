@@ -84,9 +84,40 @@ def _wg_body(nsub, mul_kind, fill, has_w,
                                      jnp.full_like(acc, fill), acc)
 
 
+SEG_STEPS = 2048   # max grid steps per pallas_call: keeps the wsel/nact
+                   # scalar-prefetch arrays within the ~1 MB SMEM budget
+
+
 def windowed_gather(src2d, wsel, nact, cidx, meta, weights, fill,
                     out_rows: int, nsub: int, mul_kind: str = "none",
                     interpret: bool = False):
+    """Segmented driver: one pallas_call per ≤SEG_STEPS-step segment (all
+    segments share one kernel lowering). ``out_rows`` must be a multiple
+    of 8·SEG_STEPS when larger (the planner pads)."""
+    nsteps = out_rows // SUB
+    if nsteps <= SEG_STEPS:
+        return _windowed_gather_call(src2d, wsel, nact, cidx, meta, weights,
+                                     fill, out_rows, nsub, mul_kind,
+                                     interpret)
+    assert nsteps % SEG_STEPS == 0, (nsteps, SEG_STEPS)
+    outs = []
+    for q in range(nsteps // SEG_STEPS):
+        s0 = q * SEG_STEPS
+        outs.append(_windowed_gather_call(
+            src2d,
+            jax.lax.dynamic_slice_in_dim(wsel, s0 * nsub, SEG_STEPS * nsub),
+            jax.lax.dynamic_slice_in_dim(nact, s0, SEG_STEPS),
+            jax.lax.dynamic_slice_in_dim(cidx, s0 * nsub, SEG_STEPS * nsub),
+            jax.lax.dynamic_slice_in_dim(meta, s0, SEG_STEPS),
+            (jax.lax.dynamic_slice_in_dim(weights, s0, SEG_STEPS)
+             if weights is not None else None),
+            fill, SEG_STEPS * SUB, nsub, mul_kind, interpret))
+    return jnp.concatenate(outs, axis=0)
+
+
+def _windowed_gather_call(src2d, wsel, nact, cidx, meta, weights, fill,
+                          out_rows: int, nsub: int, mul_kind: str = "none",
+                          interpret: bool = False):
     """Run the windowed-gather kernel.
 
     src2d:   (S, 128) source table (S multiple of 8).

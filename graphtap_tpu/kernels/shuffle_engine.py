@@ -44,13 +44,9 @@ class ShufflePlans:
     arrays: Dict[str, np.ndarray]
 
     def device_arrays(self, mesh):
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from graphtap_tpu.parallel.layout import ROWS, COLS
-        out = {}
-        for k, a in self.arrays.items():
-            spec = P((ROWS, COLS), *([None] * (a.ndim - 1)))
-            out[k] = jax.device_put(a, NamedSharding(mesh, spec))
-        return out
+        from graphtap_tpu.parallel.multihost import put_device_stacked
+        return {k: put_device_stacked(a, mesh)
+                for k, a in self.arrays.items()}
 
 
 def build_shuffle_plans(tiles: TileSet, value_dtype=np.float32,

@@ -49,3 +49,32 @@ def test_pagerank_tcsc_cf_matches_reference(mesh, rmat10_edges):
     gold = golden.pagerank(src, dst, NV, 20)
     np.testing.assert_allclose(ex.state_vector()["rank"], gold,
                                rtol=1e-10, atol=1e-12)
+
+
+def test_pagerank_tcsc_cf_convergence(mesh, rmat10_edges):
+    """iters=0 on a CF matrix: first-phase step, middle-phase loop with
+    the regular-rows-only vote, last-phase flush (reference:
+    vertex_program.hpp:1885-1923, :425-429). Must match the plain-TCSC
+    convergence run."""
+    src, dst = rmat10_edges
+    cfg_cf = GraphConfig(num_vertices=1024, directed=True, transpose=True,
+                         compression=Compression.TCSC_CF)
+    g_cf = Graph.from_edges(src, dst, None, cfg_cf, mesh=mesh)
+    ex_cf = run_pagerank(g_cf, num_iterations=0, value_dtype=jnp.float64)
+
+    cfg_t = GraphConfig(num_vertices=1024, directed=True, transpose=True,
+                        compression=Compression.TCSC)
+    g_t = Graph.from_edges(src, dst, None, cfg_t, mesh=mesh)
+    ex_t = run_pagerank(g_t, num_iterations=0, value_dtype=jnp.float64)
+
+    assert ex_cf.iteration > 1
+    # the regular-rows-only vote can stop a step earlier than plain
+    # TCSC's all-rows vote (reference: vertex_program.hpp:1885-1923 —
+    # CF defers source rows to the flush), so agreement is at the
+    # convergence tolerance (tol=1e-5), not bitwise
+    np.testing.assert_allclose(ex_cf.state_vector()["rank"],
+                               ex_t.state_vector()["rank"],
+                               rtol=0, atol=2e-5)
+    cs_cf, _ = ex_cf.checksum()
+    cs_t, _ = ex_t.checksum()
+    assert cs_cf == pytest.approx(cs_t, abs=2e-3)
