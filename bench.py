@@ -31,7 +31,7 @@ SCALE = int(os.environ.get("BENCH_SCALE", "20"))
 EDGE_FACTOR = 16
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 SEED = 1
-KERNEL = os.environ.get("BENCH_KERNEL", "shuffle2")
+KERNEL = os.environ.get("BENCH_KERNEL", "shuffle")
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 
