@@ -16,7 +16,7 @@ leader-election of the reference (matrix.hpp:327-341) is replaced by a
 segment-to-device alignment built into the tiling (see parallel/layout.py).
 """
 
-from graphtap_tpu.config import GraphConfig, EngineConfig, Compression, Tiling, Ordering
+from graphtap_tpu.config import GraphConfig, EngineConfig, Compression, Ordering
 from graphtap_tpu.parallel.layout import Partition, make_mesh
 from graphtap_tpu.ingest.graph import Graph
 from graphtap_tpu.engine.program import VertexProgram
@@ -26,7 +26,7 @@ from graphtap_tpu.kernels.semiring import Semiring, plus_times, min_plus, min_se
 __version__ = "0.1.0"
 
 __all__ = [
-    "GraphConfig", "EngineConfig", "Compression", "Tiling", "Ordering",
+    "GraphConfig", "EngineConfig", "Compression", "Ordering",
     "Partition", "make_mesh", "Graph", "VertexProgram", "Executor",
     "Semiring", "plus_times", "min_plus", "min_select",
 ]

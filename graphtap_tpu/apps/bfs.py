@@ -74,3 +74,14 @@ def run_bfs(graph: Graph, root: int = 0, kernel: str = "scan") -> Executor:
     ex.initialize()
     ex.execute(0)
     return ex
+
+
+if __name__ == "__main__":
+    from graphtap_tpu.ingest.graph import Graph
+    from graphtap_tpu.apps._cli import app_main, timed
+
+    def _run(path, nv, root, kernel):
+        g = Graph.load(path, bfs_config(nv))
+        return timed(run_bfs, g, root=root, kernel=kernel)
+
+    app_main("bfs", _run, third_arg="root", default_third=0)

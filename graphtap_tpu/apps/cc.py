@@ -62,3 +62,14 @@ def run_cc(graph: Graph, kernel: str = "scan") -> Executor:
     ex.initialize()
     ex.execute(0)
     return ex
+
+
+if __name__ == "__main__":
+    from graphtap_tpu.ingest.graph import Graph
+    from graphtap_tpu.apps._cli import app_main, timed
+
+    def _run(path, nv, _third, kernel):
+        g = Graph.load(path, cc_config(nv))
+        return timed(run_cc, g, kernel=kernel)
+
+    app_main("cc", _run, third_arg="iters", default_third=0)

@@ -1,0 +1,16 @@
+"""deg: degree binary (reference: src/apps/deg.cpp — stationary, _TCSC_,
+one iteration)."""
+from graphtap_tpu import Graph, GraphConfig, Compression
+from graphtap_tpu.apps.degree import run_degree
+from graphtap_tpu.apps._cli import app_main, timed
+
+
+def _run(path, nv, _third, kernel):
+    g = Graph.load(path, GraphConfig(num_vertices=nv, directed=True,
+                                     transpose=False,
+                                     compression=Compression.TCSC))
+    return timed(run_degree, g, kernel=kernel)
+
+
+if __name__ == "__main__":
+    app_main("deg", _run, third_arg="iters", default_third=1)

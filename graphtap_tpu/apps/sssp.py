@@ -75,3 +75,14 @@ def run_sssp(graph: Graph, root: int = 0, weighted: bool = True, kernel: str = "
     ex.initialize()
     ex.execute(0)
     return ex
+
+
+if __name__ == "__main__":
+    from graphtap_tpu.ingest.graph import Graph
+    from graphtap_tpu.apps._cli import app_main, timed
+
+    def _run(path, nv, root, kernel):
+        g = Graph.load(path, sssp_config(nv))
+        return timed(run_sssp, g, root=root, kernel=kernel)
+
+    app_main("sssp", _run, third_arg="root", default_third=0)

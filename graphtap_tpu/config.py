@@ -16,20 +16,16 @@ class Compression(enum.Enum):
     """Tile compression format (reference: src/ds/compressed_column.hpp:17-23)."""
 
     CSC = "csc"            # plain CSC per tile
-    DCSC = "dcsc"          # doubly compressed (nnz columns only)
     TCSC = "tcsc"          # triply compressed: renumbered nnz rows + nnz cols
     TCSC_CF = "tcsc_cf"    # TCSC + computation filtering (regular/source/sink)
 
-
-class Tiling(enum.Enum):
-    """Tile-to-device layout (reference: src/mat/tiling.hpp:13-16).
-
-    On TPU both collapse to the same mesh-aligned layout (parallel/layout.py);
-    the enum is kept for configuration parity.
-    """
-
-    T2D = "2d"
-    T2DT = "2dt"
+    # The reference's DCSC (compressed_column.hpp:156-271) is deliberately
+    # absent: its JC indirection compresses the per-tile x working set,
+    # which on the TPU layout is a property of the exchange (the sparse
+    # activity-filtered path in engine/executor.py), not the format —
+    # executing it would be byte-identical to CSC here. Likewise the
+    # _2D_/_2DT_ rank layouts (tiling.hpp:13-16) collapse into the single
+    # mesh-aligned layout of parallel/layout.py. See docs/PARITY.md.
 
 
 class Ordering(enum.Enum):
@@ -54,7 +50,6 @@ class GraphConfig:
     acyclic: bool = False              # force row < col by swapping
     parallel_edges: bool = True        # True = KEEP parallel edges
     has_weight: bool = False           # edge stream carries a u32 weight
-    tiling: Tiling = Tiling.T2DT
     compression: Compression = Compression.TCSC
     # TPU-specific: segment alignment for padded static shapes. Each of the
     # D = R*C vertex segments is padded to a multiple of this.

@@ -264,6 +264,82 @@ class Executor:
         V2l, changed = self._apply(Vl, y_own, tile, it)
         return {k: v[None] for k, v in V2l.items()}, changed[None]
 
+    # --------------------------------------------------------------- TIMING
+    @functools.cached_property
+    def _jit_phases(self):
+        """Per-phase jits for profiled execution (the -DTIMING analog,
+        reference: vertex_program.hpp:202-208). Each BSP phase runs as its
+        own shard_mapped XLA program so wall-clock fences land between
+        scatter_gather / combine / apply, at the cost of fusion."""
+        mesh = self.mesh
+        spec1 = _spec(1)
+        tspec = jax.tree.map(lambda _: spec1, dict(self._tile_pytree))
+        prog, sem = self.program, self.program.semiring
+
+        def sg(V, C):
+            Vl = {k: v[0] for k, v in V.items()}
+            m = prog.messenger(Vl).astype(prog.value_dtype)
+            if not prog.stationary:
+                m = jnp.where(C[0], m, sem.identity_like(m.dtype))
+            return self._exchange_x(m, C[0])[None]
+
+        def combine(x, tile):
+            tile = self._tile_with_w(tile)
+            return self._combine(x[0], tile)[None]
+
+        def apply_(V, C, y, tile, it):
+            Vl = {k: v[0] for k, v in V.items()}
+            V2l, changed = self._apply(Vl, y[0], tile, it)
+            votes = lax.psum(jnp.all(~changed).astype(jnp.int32),
+                             (ROWS, COLS))
+            return ({k: v[None] for k, v in V2l.items()}, changed[None],
+                    votes)
+
+        return {
+            "scatter_gather": jax.jit(jax.shard_map(
+                sg, mesh=mesh, in_specs=(spec1, spec1), out_specs=spec1,
+                check_vma=False)),
+            "combine": jax.jit(jax.shard_map(
+                combine, mesh=mesh, in_specs=(spec1, tspec),
+                out_specs=spec1, check_vma=False)),
+            "apply": jax.jit(jax.shard_map(
+                apply_, mesh=mesh,
+                in_specs=(spec1, spec1, spec1, tspec, P()),
+                out_specs=(spec1, spec1, P()), check_vma=False)),
+        }
+
+    def execute_profiled(self, num_iterations: int, timer=None,
+                         printer=print) -> "PhaseTimer":
+        """Run with per-phase wall-clock timing and per-iteration progress
+        (the reference's -DTIMING mode + ``Iteration: n`` lines,
+        vertex_program.hpp:422, :2134-2152). Returns the PhaseTimer."""
+        from graphtap_tpu.tools.timing import PhaseTimer
+        if self.state is None:
+            self.initialize()
+        timer = timer or PhaseTimer()
+        ph = self._jit_phases
+        V, C = self.state, self.changed
+        for it in range(num_iterations):
+            with timer.phase("scatter_gather"):
+                x = ph["scatter_gather"](V, C)
+                jax.block_until_ready(x)
+            with timer.phase("combine"):
+                y = ph["combine"](x, self._tile_pytree)
+                jax.block_until_ready(y)
+            with timer.phase("apply"):
+                V, C, votes = ph["apply"](V, C, y, self._tile_pytree,
+                                          jnp.int32(it))
+                jax.block_until_ready(V)
+            if printer is not None:
+                printer(f"Iteration: {it + 1}")
+            if int(votes) == self.part.D:
+                break
+        self.state, self.changed = V, C
+        self.iteration = it + 1
+        if printer is not None:
+            printer(timer.report())
+        return timer
+
     # ---------------------------------------------------------------- loops
     @functools.cached_property
     def _tile_pytree(self):

@@ -11,10 +11,9 @@ devices and masked.
 
 Format notes (reference: compressed_column.hpp):
   * CSC  — row ids are raw local rows; y is dense over the row block.
-  * DCSC — adds nnz-column compression; execution-wise identical here
-           because x is gathered per edge by raw local column anyway
-           (kept for stats/parity; the nnz-column list feeds the future
-           compressed message exchange).
+  * DCSC — deliberately absent (see config.py): on this layout its JC
+           indirection is the exchange's job, and execution would be
+           byte-identical to CSC.
   * TCSC — the paper's format: row ids renumbered to dense nnz-row indices
            shared across the whole mesh row ("row group"), so the segment
            reduction targets a compact [0, nnzrows) space and the

@@ -93,11 +93,3 @@ def min_select(inf: int = INF_I32) -> Semiring:
         return x if w is None else jnp.where(x >= inf, inf, x + w)
     return Semiring(name="min_select", add=jnp.minimum, mul=mul,
                     identity=inf, reduce_kind="min")
-
-
-def or_and() -> Semiring:
-    """(|, &, 0): reachability over bool/int masks."""
-    def mul(x, w):
-        return x if w is None else x & w
-    return Semiring(name="or_and", add=lambda a, b: a | b, mul=mul,
-                    identity=0, reduce_kind="max")

@@ -141,3 +141,42 @@ def test_checkpoint_shape_mismatch_rejected(tmp_path):
     ex2.initialize()
     with pytest.raises(ValueError):
         load_state(ex2, path)
+
+
+def test_execute_profiled_matches_and_reports(rmat10_edges):
+    """The -DTIMING analog: split-phase execution must produce the same
+    PageRank result as the fused loop, print 'Iteration: n' lines, and
+    fill the PhaseTimer (reference: vertex_program.hpp:422, 2134-2152)."""
+    import jax.numpy as jnp
+    from graphtap_tpu import Graph, GraphConfig, Compression, make_mesh
+    from graphtap_tpu.apps.degree import DegreeProgram
+    from graphtap_tpu.apps.pagerank import PageRankProgram
+    from graphtap_tpu.config import EngineConfig, Ordering
+    from graphtap_tpu.engine.executor import Executor
+    import jax
+
+    src, dst = rmat10_edges
+    mesh = make_mesh(jax.devices()[:4], shape=(2, 2))
+    cfg = GraphConfig(num_vertices=1024, directed=True, transpose=True,
+                      compression=Compression.TCSC)
+    g = Graph.from_edges(src, dst, None, cfg, mesh=mesh)
+    deg = Executor(g, DegreeProgram(value_dtype=jnp.float64),
+                   EngineConfig(stationary=True, ordering=Ordering.COL))
+    deg.initialize()
+    deg.execute(1)
+
+    ex_a = Executor(g, PageRankProgram(value_dtype=jnp.float64),
+                    EngineConfig(stationary=True, ordering=Ordering.ROW))
+    ex_a.initialize(other=deg)
+    ex_a.execute(5)
+
+    lines = []
+    ex_b = Executor(g, PageRankProgram(value_dtype=jnp.float64),
+                    EngineConfig(stationary=True, ordering=Ordering.ROW))
+    ex_b.initialize(other=deg)
+    timer = ex_b.execute_profiled(5, printer=lines.append)
+    assert lines.count("Iteration: 1") == 1 and "Iteration: 5" in lines
+    assert set(timer.samples) == {"scatter_gather", "combine", "apply"}
+    assert all(len(v) == 5 for v in timer.samples.values())
+    np.testing.assert_allclose(ex_b.state_vector()["rank"],
+                               ex_a.state_vector()["rank"], rtol=1e-12)
