@@ -1,0 +1,659 @@
+"""Host planner for the v3 "panel" SpMV pipeline — all-static kernels.
+
+On-chip probes (docs/KERNEL_NOTES.md) show this stack executes static
+streamed vector ops fast (select 1.7ns, take0 9ns, take1 29ns per
+(8,128)) but charges 60-300ns for anything scalar-driven (dynamic VMEM
+slices, SMEM reads in inner loops, per-subop DMA). The v3 pipeline
+therefore contains NO data-dependent control or addressing at all: every
+kernel is a fixed sequence of streamed crossbars/selects over (64,128)
+panels, and all irregularity is absorbed at plan time by *exact quotas*:
+
+  x_ext   per edge-panel, the ≤3968 distinct columns it references,
+          gathered into a 32-row panel (hub duplication becomes in-panel
+          routing, so consumption is rate-constant).
+  expand  route x_ext panel → (64,128) contribution panel, ⊗-weighted,
+          arranged digit0-striped: rows [8d,8d+8) hold EXACTLY 1024
+          elements of block-code digit0 = d (planner holes make quotas
+          exact; holes carry the ⊕-identity).
+  pass A  corner turn: output panel j of (super, d0) region reads stripe
+          d0 of 8 consecutive expand panels (static block reads), and
+          routes so rows [8e,8e+8) hold digit1 = e AND every element
+          sits in its final fold lane.
+  pass B  output panel of region (d0, d1) is a single 128-row block:
+          masked column-⊕ over its stripes accumulates straight into the
+          lane-space y table — no stream write.
+  fixup   lane-space → (block, lr) compact y (tiny static gather+fold).
+
+The in-panel route is the 3-stage decomposition (lane crossbar →
+vertical move → lane crossbar) of an arbitrary (64,128) assignment; the
+planner assigns intermediate lanes greedily (vectorized over panels,
+sequential only over the 64 source rows), with capacity per
+(source row, lane) of 1 and per (target stripe, lane) of 8.
+
+Reference parity: this plans the same computation as spmv_stationary's
+edge loop + partial-y fold (vertex_program.hpp:1116-1327, 1510-1573);
+the quotas/holes are the TPU-shaped version of the reference's per-tile
+nedges==0 skips and padding-free serial scatter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+LANES = 128
+PROWS = 64                 # panel rows
+PSLOTS = PROWS * LANES     # 8192
+STRIPE = 8                 # rows per digit stripe
+NDIG = 8                   # radix: 3 bits per pass
+CODE_BITS = 6              # block code bits per super: 2 passes of 3
+NSUP_BLOCKS = 1 << CODE_BITS   # 64 blocks (8192 compact rows) per super
+XROWS = 32                 # x_ext panel rows (4096 column slots)
+SLOT_W = 120               # x_ext slots per row (8 spare lanes per row
+                           # keep stage-1 entry assignment off full load)
+XCAP = (XROWS - 1) * SLOT_W  # last x_ext row reserved as fill
+QUOTA = 960                # elements per digit stripe (1024 slots - slack:
+                           # the route's greedy two-choice lane assignment
+                           # needs ~6% free entries to stay off the full-
+                           # load Konig regime)
+DUP_CAP = 128              # max edges per x_ext slot: hub columns get
+                           # multiple slots so one source entry never
+                           # starves its row's stage-1 lane entries
+
+
+@dataclass
+class RoutePlan:
+    """One in-panel 3-stage route with two landing layers:
+      u   = take1(v, idx1) per source row band
+      w_a[i,m] = u[row_a(i,m), m];  w_b likewise (band+row packed in sel)
+      out[i,l] = take1(w_b if pick else w_a, m)   (m | pick<<7 in idx3)
+    Streams are (rows,128) int8/uint8 per panel, concatenated over
+    panels. The second layer makes the greedy intermediate-lane
+    assignment succeed at full load (two-choice placement)."""
+    idx1: np.ndarray       # (npanels*src_rows, 128) int8: src lane at (r, m)
+    sel_a: np.ndarray      # (npanels*64, 128) uint8: srcrow%8 | band<<3
+    sel_b: np.ndarray      # (npanels*64, 128) uint8
+    idx3: np.ndarray       # (npanels*64, 128) uint8: m | pick<<7 at (i, l)
+    src_rows: int
+
+
+def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
+                  src_rows, fill_from=None):
+    """Greedy 3-stage route assignment with row freedom (per slot).
+
+    A slot of panel p reads source (src_r, src_c) and must land anywhere
+    in stripe ``dst_stripe`` (rows [8s, 8s+8)). If ``dst_lane`` is None
+    the final lane is free (expand: the landing IS the final slot and
+    stage 3 is the identity); otherwise the lane is fixed (pass A: the
+    fold lane) and two landing layers precede the final crossbar.
+    Returns (RoutePlan, rows, lanes) with the chosen final positions."""
+    N = src_r.size
+    assert N == npanels * PSLOTS, (N, npanels)
+    free_lane = dst_lane is None
+    nlayer = 1 if free_lane else 2
+    src_at = np.zeros((npanels, src_rows, LANES), dtype=np.int16)   # c+1
+    land = np.zeros((nlayer, npanels, PROWS, LANES), dtype=np.int32)
+    final_used = np.zeros((npanels, PROWS, LANES), dtype=bool)
+    final_who = np.full((npanels, PROWS, LANES), -1, dtype=np.int64)
+    m_of = np.full(N, -1, dtype=np.int64)
+    row_of = np.full(N, -1, dtype=np.int64)
+    pick = np.zeros(N, dtype=np.int64)
+    rc = (src_r * LANES + src_c + 1).astype(np.int32)
+    c1 = (src_c + 1).astype(np.int16)
+    # fill slots (phantoms): read rows known to hold only the ⊕-identity;
+    # they claim no stage-1 entry (idx1 default 0 points into fill) and
+    # share landings with each other (rc sentinel -1)
+    is_fill = np.zeros(N, dtype=bool) if fill_from is None else \
+        (src_r >= fill_from)
+    rc = np.where(is_fill, -1, rc).astype(np.int32)
+
+    # phase 1: real slots only (fills are fully flexible and go last)
+    pend = np.flatnonzero(~is_fill)
+    for k in range(2 * LANES):
+        if pend.size == 0:
+            break
+        m = (src_c[pend] + STRIPE * k + k) % LANES
+        pp = panel_of[pend]
+        sa = src_at[pp, src_r[pend], m]
+        ok_src = (sa == 0) | (sa == c1[pend]) | is_fill[pend]
+        # row/layer choice within the stripe (per-slot offset avoids
+        # herding every slot onto the stripe's first free row)
+        roff = (pend + k) % STRIPE
+        rows8 = dst_stripe[pend] * STRIPE + \
+            (np.arange(STRIPE)[:, None] + roff[None, :]) % STRIPE
+        if free_lane:
+            cell_free = ~final_used[pp[None], rows8, m[None]]   # (8, n)
+            tsel = np.argmax(cell_free, axis=0)
+            ok = ok_src & cell_free.any(axis=0)
+            lay = np.zeros(pend.size, dtype=np.int64)
+            lane_fin = m
+        else:
+            la = land[0, pp[None], rows8, m[None]]
+            lb = land[1, pp[None], rows8, m[None]]
+            fin_free = ~final_used[pp[None], rows8, dst_lane[pend][None]]
+            ok_a = ((la == 0) | (la == rc[pend][None])) & fin_free
+            ok_b = ((lb == 0) | (lb == rc[pend][None])) & fin_free
+            okrow = ok_a | ok_b
+            tsel = np.argmax(okrow, axis=0)
+            ok = ok_src & okrow.any(axis=0)
+            lay = np.where(ok_a[tsel, np.arange(pend.size)], 0, 1)
+            lane_fin = dst_lane[pend]
+        row_fin = rows8[tsel, np.arange(pend.size)]
+        # claim races: src entries share by c; landings share by rc;
+        # final cells are exclusive (first wins)
+        take = ok.copy()
+        keysets = [((pp * src_rows + src_r[pend]) * LANES + m, rc[pend]),
+                   (((lay * npanels + pp) * PROWS + row_fin) * LANES + m,
+                    rc[pend]),
+                   ((pp * PROWS + row_fin) * LANES + lane_fin, None)]
+        for keys, share in keysets:
+            o = np.lexsort((np.arange(pend.size),
+                            np.where(take, keys, -1)))
+            kk = np.where(take, keys, -1)[o]
+            first = np.concatenate([[True], kk[1:] != kk[:-1]])
+            if share is None:
+                agree = np.zeros(pend.size, dtype=bool)
+                agree[o] = first
+                agree |= ~take
+            else:
+                runs = np.cumsum(first) - 1
+                lead = share[o][np.flatnonzero(first)][runs]
+                agree = np.zeros(pend.size, dtype=bool)
+                agree[o] = share[o] == lead
+            take &= agree
+        t = pend[take]
+        tm = m[take]
+        lane_fin_t = tm if free_lane else dst_lane[t]
+        m_of[t] = tm
+        row_of[t] = row_fin[take]
+        pick[t] = lay[take]
+        src_at[panel_of[t], src_r[t], tm] = c1[t]
+        land[lay[take], panel_of[t], row_of[t], tm] = rc[t]
+        final_used[panel_of[t], row_of[t], lane_fin_t] = True
+        pend = pend[~take]
+    if pend.size:
+        raise ValueError(f"route: {pend.size} unplaceable real slots")
+
+    # phase 2: fills take the leftover cells (any source; landings share
+    # the rc=-1 sentinel)
+    fills = np.flatnonzero(is_fill)
+    if fills.size:
+        if free_lane:
+            # bijection per (panel, stripe): leftover cells in order
+            fp = panel_of[fills]
+            fkey = fp * NDIG + dst_stripe[fills]
+            fo = np.argsort(fkey, kind="stable")
+            cells = ~final_used.reshape(npanels, NDIG,
+                                        STRIPE * LANES)
+            cp, cs, cc = np.nonzero(cells)
+            ckey = cp * NDIG + cs
+            co = np.argsort(ckey, kind="stable")
+            assert fo.size <= co.size
+            # leftovers in each (panel, stripe) == its fill count
+            fsl = fills[fo]
+            crow = (cc[co] // LANES)[:fsl.size]
+            clane = (cc[co] % LANES)[:fsl.size]
+            row_of[fsl] = dst_stripe[fsl] * STRIPE + crow
+            m_of[fsl] = clane
+            pick[fsl] = 0
+            land[0, panel_of[fsl], row_of[fsl], m_of[fsl]] = \
+                np.where(land[0, panel_of[fsl], row_of[fsl],
+                              m_of[fsl]] == 0, -1,
+                         land[0, panel_of[fsl], row_of[fsl], m_of[fsl]])
+            # ensure the landing actually reads fill: claim layer 0 when
+            # free, else layer 1, else share an existing fill landing
+            for lay_try in (0, 1):
+                if lay_try >= nlayer:
+                    break
+                la = land[lay_try, panel_of[fsl], row_of[fsl], m_of[fsl]]
+                okf = (la == 0) | (la == -1)
+                land[lay_try, panel_of[fsl][okf], row_of[fsl][okf],
+                     m_of[fsl][okf]] = -1
+                pick[fsl[okf]] = lay_try
+                fsl = fsl[~okf]
+                if fsl.size == 0:
+                    break
+            if fsl.size:
+                raise ValueError("route: fill landing conflict")
+        else:
+            pend = fills
+            for k in range(4 * LANES):
+                if pend.size == 0:
+                    break
+                m = (dst_lane[pend] + k * 9) % LANES
+                pp = panel_of[pend]
+                roff = (pend + k) % STRIPE
+                rows8 = dst_stripe[pend] * STRIPE + \
+                    (np.arange(STRIPE)[:, None] + roff[None, :]) % STRIPE
+                la = land[0, pp[None], rows8, m[None]]
+                lb = land[1, pp[None], rows8, m[None]]
+                fin = ~final_used[pp[None], rows8, dst_lane[pend][None]]
+                ok_a = ((la == 0) | (la == -1)) & fin
+                ok_b = ((lb == 0) | (lb == -1)) & fin
+                okrow = ok_a | ok_b
+                tsel = np.argmax(okrow, axis=0)
+                ok = okrow.any(axis=0)
+                ar = np.arange(pend.size)
+                lay = np.where(ok_a[tsel, ar], 0, 1)
+                row_fin = rows8[tsel, ar]
+                take = ok.copy()
+                keys = (pp * PROWS + row_fin) * LANES + dst_lane[pend]
+                o = np.lexsort((ar, np.where(take, keys, -1)))
+                kk = np.where(take, keys, -1)[o]
+                first = np.concatenate([[True], kk[1:] != kk[:-1]])
+                agree = np.zeros(pend.size, dtype=bool)
+                agree[o] = first
+                take &= agree
+                t = pend[take]
+                m_of[t] = m[take]
+                row_of[t] = row_fin[take]
+                pick[t] = lay[take]
+                land[lay[take], panel_of[t], row_of[t], m[take]] = -1
+                final_used[panel_of[t], row_of[t], dst_lane[t]] = True
+                pend = pend[~take]
+            if pend.size:
+                raise ValueError(
+                    f"route: {pend.size} unplaceable fill slots")
+
+    lane_of = m_of if free_lane else dst_lane
+    idx1 = np.zeros((npanels, src_rows, LANES), dtype=np.int8)
+    sel_a = np.zeros((npanels, PROWS, LANES), dtype=np.uint8)
+    sel_b = np.zeros((npanels, PROWS, LANES), dtype=np.uint8)
+    idx3 = np.zeros((npanels, PROWS, LANES), dtype=np.uint8)
+    nf_all = ~is_fill
+    idx1[panel_of[nf_all], src_r[nf_all], m_of[nf_all]] = \
+        src_c[nf_all].astype(np.int8)
+    selv = ((src_r % STRIPE) | ((src_r // STRIPE) << 3)).astype(np.uint8)
+    ia = pick == 0
+    sel_a[panel_of[ia], row_of[ia], m_of[ia]] = selv[ia]
+    ib = ~ia
+    sel_b[panel_of[ib], row_of[ib], m_of[ib]] = selv[ib]
+    if free_lane:
+        idx3 += np.arange(LANES, dtype=np.uint8)[None, None, :]
+    else:
+        idx3[panel_of, row_of, lane_of] = (m_of | (pick << 7)).astype(
+            np.uint8)
+    plan = RoutePlan(idx1=idx1.reshape(-1, LANES),
+                     sel_a=sel_a.reshape(-1, LANES),
+                     sel_b=sel_b.reshape(-1, LANES),
+                     idx3=idx3.reshape(-1, LANES), src_rows=src_rows)
+    return plan, row_of, lane_of
+
+
+def simulate_route(plan: RoutePlan, v: np.ndarray, npanels: int
+                   ) -> np.ndarray:
+    """Numpy oracle of the 3-stage route kernel."""
+    sr = plan.src_rows
+    v = v.reshape(npanels, sr, LANES)
+    idx1 = plan.idx1.reshape(npanels, sr, LANES).astype(np.int64)
+    u = np.take_along_axis(v, idx1, axis=2)
+
+    def wlayer(sel):
+        sel = sel.reshape(npanels, PROWS, LANES).astype(np.int64)
+        srcrow = (sel & 7) + ((sel >> 3) & 15) * STRIPE
+        return np.take_along_axis(u, np.minimum(srcrow, sr - 1), axis=1)
+
+    w_a = wlayer(plan.sel_a)
+    w_b = wlayer(plan.sel_b)
+    i3 = plan.idx3.reshape(npanels, PROWS, LANES).astype(np.int64)
+    m = i3 & 127
+    out = np.where(i3 >= 128,
+                   np.take_along_axis(w_b, m, axis=2),
+                   np.take_along_axis(w_a, m, axis=2))
+    return out.reshape(npanels * PROWS, LANES)
+
+
+@dataclass
+class Spmv3Plan:
+    """Complete static plan for one device's v3 panel SpMV."""
+    NC: int
+    NR: int
+    nblocks: int           # compact y rows (mult of 8)
+    n_edges: int
+    xext_rows: int         # x_ext stream rows (panels * XROWS)
+    exp_panels: int
+    pa_panels: int
+    pa_nwin: int           # stripe windows per pass-A panel (8 + slack)
+    exp_route: RoutePlan
+    pa_route: RoutePlan
+    pa_bases: np.ndarray   # (pa_panels * pa_nwin,) int32 stripe-block index
+    w_stream: Optional[np.ndarray]  # (exp_panels*PROWS, 128) or None
+    fix_rounds: int
+    # v2 gather plans (windowed_gather) for the small stages
+    xext: "object"         # x -> x_ext
+    fixg: "object"         # y_lane -> ystack (nblocks*8*fix_rounds rows)
+    mexp: "object"         # y_compact -> dense
+    dense_rows: int
+
+    @property
+    def pad_factor(self) -> float:
+        return self.exp_panels * PSLOTS / max(1, self.n_edges)
+
+
+def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
+                     weights: Optional[np.ndarray],
+                     NR: int, NC: int, dense_len: int,
+                     iv_dense: Optional[np.ndarray],
+                     value_dtype=np.float32,
+                     pa_slack: int = 2) -> Spmv3Plan:
+    """Build the v3 plan from (compact-row, local-col) edges."""
+    from graphtap_tpu.kernels.gather_plan import build_gather_plan
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    E = int(rows.size)
+    nblocks = -(-max(1, -(-NR // LANES)) // STRIPE) * STRIPE
+
+    blk = rows // LANES
+    sup = blk >> CODE_BITS
+    nsup = int(sup.max()) + 1 if E else 1
+    bis = blk & (NSUP_BLOCKS - 1)
+    # balanced codes: bit-reversed by size rank per super
+    sizes = np.bincount(sup * NSUP_BLOCKS + bis,
+                        minlength=nsup * NSUP_BLOCKS
+                        ).reshape(nsup, NSUP_BLOCKS) if E else \
+        np.zeros((1, NSUP_BLOCKS), np.int64)
+    rank = np.argsort(np.argsort(-sizes, axis=1, kind="stable"),
+                      axis=1, kind="stable")
+    rev = np.zeros(NSUP_BLOCKS, np.int64)
+    for i in range(CODE_BITS):
+        rev |= ((np.arange(NSUP_BLOCKS) >> i) & 1) << (CODE_BITS - 1 - i)
+    codes_tab = rev[rank]
+    # block of a code (per super): inverse permutation
+    block_of_code = np.empty_like(codes_tab)
+    np.put_along_axis(block_of_code, codes_tab,
+                      np.arange(NSUP_BLOCKS)[None].repeat(nsup, 0), axis=1)
+
+    order = np.lexsort((cols, sup)) if E else np.zeros(0, np.int64)
+    e_sup = sup[order]
+    e_col = cols[order]
+    e_row = rows[order]
+    e_code = codes_tab[e_sup, bis[order]]
+    e_d0 = e_code & (NDIG - 1)
+    e_d1 = e_code >> 3
+    e_w = np.asarray(weights)[order] if weights is not None else None
+
+    # ---- edge-panel packing: per super, col order; close a panel when a
+    # d0 quota (1024) or the distinct-column cap would overflow
+    panel_of = np.zeros(E, dtype=np.int64)
+    x_lists: List[np.ndarray] = []       # distinct cols per panel
+    xe_pos = np.zeros(E, dtype=np.int64)  # x_ext slot of each edge
+    i = 0
+    p = 0
+    while i < E:
+        hi = min(E, i + PSLOTS)
+        hi = min(hi, int(np.searchsorted(e_sup, e_sup[i], "right")))
+        seg_c = e_col[i:hi]
+        seg_d = e_d0[i:hi]
+        cchg = np.concatenate([[True], seg_c[1:] != seg_c[:-1]])
+        cstart = np.flatnonzero(cchg)
+        clen2 = np.diff(np.concatenate([cstart, [seg_c.size]]))
+        r_in_col = np.arange(seg_c.size) - np.repeat(cstart, clen2)
+        slot_start = cchg | (r_in_col % DUP_CAP == 0)
+        ndist = np.cumsum(slot_start)
+        m = hi - i
+        if ndist[-1] > XCAP:
+            m = min(m, int(np.searchsorted(ndist, XCAP + 1)))
+        # d0 quota: first index where any digit count exceeds 1024
+        for d in range(NDIG):
+            cnt = np.cumsum(seg_d[:m] == d)
+            if cnt[-1] > QUOTA:
+                m = min(m, int(np.searchsorted(cnt, QUOTA + 1)))
+        panel_of[i:i + m] = p
+        u = seg_c[:m][slot_start[:m]]
+        x_lists.append(u)
+        nd = ndist[:m] - 1
+        xe_pos[i:i + m] = (p * XROWS * LANES + (nd // SLOT_W) * LANES
+                           + nd % SLOT_W)
+        p += 1
+        i += m
+    exp_panels = max(1, p)
+
+    # ---- x_ext gather plan (v2 windowed_gather: x table -> x_ext)
+    xext_rows = exp_panels * XROWS
+    src_of_x = np.full(xext_rows * LANES, -1, dtype=np.int64)
+    for q, u in enumerate(x_lists):
+        sl = np.arange(u.size)
+        src_of_x[q * XROWS * LANES + (sl // SLOT_W) * LANES
+                 + sl % SLOT_W] = u
+    sxrows = -(-(-(-NC // LANES)) // STRIPE) * STRIPE
+    xext_plan = build_gather_plan(sxrows, xext_rows, src_of_x)
+
+    # ---- expand route: x_ext panel -> d0-striped (64,128) panel.
+    # Element dst: stripe d0, row/lane chosen by the router. Phantom
+    # slots (quota deficits) read spread pad sources.
+    cnt_pd = np.bincount(panel_of * NDIG + e_d0,
+                         minlength=exp_panels * NDIG)
+    ph_n = (STRIPE * LANES - cnt_pd)
+    ph_p = np.repeat(np.arange(exp_panels * NDIG) // NDIG, ph_n)
+    ph_stripe = np.repeat(np.arange(exp_panels * NDIG) % NDIG, ph_n)
+    k_in_p = _concat_ranges(ph_n)
+    ph_row = np.full(k_in_p.size, XROWS - 1, dtype=np.int64)  # fill row
+    ph_lane = k_in_p % LANES
+    all_sr = np.concatenate([(xe_pos // LANES) % XROWS, ph_row])
+    all_sc = np.concatenate([xe_pos % LANES, ph_lane])
+    all_st = np.concatenate([e_d0, ph_stripe])
+    all_p = np.concatenate([panel_of, ph_p])
+    exp_route, exp_rows_all, exp_lanes_all = _route_panels(
+        all_sr, all_sc, all_st, None, all_p, exp_panels, XROWS,
+        fill_from=XROWS - 1)
+    e_erow = exp_rows_all[:E]
+    e_elane = exp_lanes_all[:E]
+
+    w_stream = None
+    if e_w is not None:
+        w_stream = np.zeros((exp_panels * PROWS, LANES), dtype=value_dtype)
+        w_stream.reshape(exp_panels, PROWS, LANES)[
+            panel_of, e_erow, e_elane] = e_w
+
+
+    # ---- pass A: regions (super, d0). Out panel j of a region reads
+    # NWIN stripe windows [8j-BACK, 8j+FWD) (+1 reserved fill window) and
+    # takes up to 1024 elements per d1 in stripe order; the backlog of a
+    # region behaves as a reflected random walk bounded by BACK stripes
+    # (planner asserts).
+    BACK, FWD = 3, 8
+    NWIN = BACK + FWD + 1                  # last window = the fill block
+    # stripe ordinal of each edge within its region = panel ordinal
+    # within the super (each expand panel contributes one d0-stripe)
+    sup_pan0 = np.zeros(nsup + 1, dtype=np.int64)
+    if E:
+        last_pan = np.zeros(nsup, dtype=np.int64)
+        np.maximum.at(last_pan, e_sup, panel_of + 1)
+        np.maximum.accumulate(last_pan, out=last_pan)
+        sup_pan0[1:] = last_pan
+    strip_ord = panel_of - sup_pan0[e_sup]
+
+    e_pan = np.full(E, -1, dtype=np.int64)
+    pan_meta: List[Tuple[int, int, int]] = []   # (super, d0, j0) per panel
+    pan_bases: List[np.ndarray] = []
+    reg_key = e_sup * NDIG + e_d0
+    ro = np.lexsort((rank_in, strip_ord, e_d1, reg_key))
+    # per-(region,d1) contiguous runs in ro
+    rk = reg_key[ro]
+    d1o = e_d1[ro]
+    so = strip_ord[ro]
+    run_key = rk * NDIG + d1o
+    rchg = np.concatenate([[True], run_key[1:] != run_key[:-1]])
+    rst = np.flatnonzero(rchg)
+    rln = np.diff(np.concatenate([rst, [E]]))
+    run_of = {}
+    for a, b_ in zip(rst, rst + rln):
+        run_of[int(run_key[a])] = (int(a), int(b_))
+    regions = np.unique(rk) if E else np.zeros(0, np.int64)
+    fill_block = exp_panels * NDIG        # one appended all-fill stripe blk
+    pa_panels = 0
+    for reg in regions:
+        s_id, d0 = int(reg) // NDIG, int(reg) % NDIG
+        nstripes = int(sup_pan0[s_id + 1] - sup_pan0[s_id])
+        ptr = {}
+        for d1 in range(NDIG):
+            ptr[d1] = run_of.get(int(reg) * NDIG + d1, (0, 0))[0]
+        done = False
+        j = 0
+        while not done:
+            done = True
+            for d1 in range(NDIG):
+                a, b_ = run_of.get(int(reg) * NDIG + d1, (0, 0))
+                p0 = max(ptr[d1], a)
+                if p0 < b_:
+                    # take elements with stripe < 8j+FWD, up to 1024
+                    hi = p0 + int(np.searchsorted(
+                        so[p0:b_], STRIPE * j + FWD, "left"))
+                    hi = min(hi, p0 + QUOTA)
+                    if hi > p0:
+                        idx = ro[p0:hi]
+                        assert int(so[p0]) >= STRIPE * j - BACK,                             "pass-A backlog exceeded BACK"
+                        e_pan[idx] = pa_panels
+                        ptr[d1] = hi
+                    if hi < b_:
+                        done = False
+            base0 = sup_pan0[s_id] * NDIG + d0  # first stripe blk of region
+            w = np.arange(STRIPE * j - BACK, STRIPE * j + FWD)
+            wb = np.where((w >= 0) & (w < nstripes),
+                          base0 + w * NDIG, fill_block)
+            pan_bases.append(np.concatenate([wb, [fill_block]]))
+            pan_meta.append((s_id, d0, j))
+            pa_panels += 1
+            j += 1
+    assert (e_pan >= 0).all() if E else True
+    pa_bases = (np.stack(pan_bases).astype(np.int32).reshape(-1)
+                if pan_bases else np.zeros(NWIN, np.int32))
+
+    # window index of each element within its pass-A panel
+    pan_j = np.array([m[2] for m in pan_meta], dtype=np.int64) \
+        if pan_meta else np.zeros(1, np.int64)
+    e_win = strip_ord - (STRIPE * pan_j[e_pan] - BACK)
+    assert E == 0 or ((e_win >= 0).all() and (e_win < NWIN - 1).all())
+    pa_src_row = e_win * STRIPE + e_erow % STRIPE
+    pa_src_lane = e_elane
+
+    # lane packing per (out panel, d1): lr-sorted rank; a lane never
+    # mixes lr values, so the fixup map is one (block, lr) per lane
+    lr_e = e_row % LANES
+    k5 = e_pan * NDIG + e_d1
+    o5 = np.lexsort((rank_in, strip_ord, lr_e, k5))
+    k5s = k5[o5]
+    lr5 = lr_e[o5]
+    newlane = np.concatenate([[True], (k5s[1:] != k5s[:-1]) |
+                              (lr5[1:] != lr5[:-1])])
+    st5 = np.flatnonzero(newlane)
+    ln5 = np.diff(np.concatenate([st5, [E]]))
+    rnk = np.arange(E) - np.repeat(st5, ln5)
+    lane_bump = newlane | (rnk % STRIPE == 0)
+    pd_chg = np.concatenate([[True], k5s[1:] != k5s[:-1]])
+    bump_cum = np.cumsum(lane_bump)
+    lane_sorted = bump_cum - np.repeat(
+        bump_cum[np.flatnonzero(pd_chg)],
+        np.diff(np.concatenate([np.flatnonzero(pd_chg), [E]])))
+    pa_lane = np.empty(E, dtype=np.int64)
+    pa_lane[o5] = lane_sorted
+    if E and int(pa_lane.max()) >= LANES:
+        raise ValueError("pass-A lane overflow (lr packing)")
+
+    # phantoms: fill each (panel, d1) stripe's remaining lane capacity
+    cnt_lane = np.bincount((e_pan * NDIG + e_d1) * LANES + pa_lane,
+                           minlength=pa_panels * NDIG * LANES) \
+        if E else np.zeros(pa_panels * NDIG * LANES, np.int64)
+    rem = (STRIPE - cnt_lane.reshape(-1, LANES))
+    assert rem.min() >= 0
+    phl = np.tile(np.arange(LANES), pa_panels * NDIG)
+    ph_lane2 = np.repeat(phl, rem.reshape(-1))
+    ps_of = np.repeat(np.arange(pa_panels * NDIG), rem.sum(axis=1))
+    ph_p2 = ps_of // NDIG
+    ph_d1 = ps_of % NDIG
+    kk2 = _concat_ranges(rem.sum(axis=1))
+    ph_src2 = (NWIN - 1) * STRIPE * LANES + (kk2 % (STRIPE * LANES))
+    a_sr = np.concatenate([pa_src_row, ph_src2 // LANES])
+    a_sc = np.concatenate([pa_src_lane, ph_src2 % LANES])
+    a_st = np.concatenate([e_d1, ph_d1])
+    a_dl = np.concatenate([pa_lane, ph_lane2])
+    a_p = np.concatenate([e_pan, ph_p2])
+    pa_route, _parows, _palanes = _route_panels(
+        a_sr, a_sc, a_st, a_dl, a_p, pa_panels, NWIN * STRIPE,
+        fill_from=(NWIN - 1) * STRIPE)
+
+    # ---- fixup: y_lane rows (pa_panels*8, one per (panel, d1)) carry
+    # per-lane (block, lr) targets; gather into an lr-aligned stack of
+    # <=8*rounds rows per block, then colsum-fold
+    ylane_rows = pa_panels * STRIPE
+    # per (panel, d1, lane): target (block, lr) — from any element there
+    tgt_block = np.full((pa_panels, NDIG, LANES), -1, dtype=np.int64)
+    tgt_lr = np.zeros((pa_panels, NDIG, LANES), dtype=np.int64)
+    tgt_block[e_pan, e_d1, pa_lane] = blk[order]
+    tgt_lr[e_pan, e_d1, pa_lane] = lr_e
+    tb = tgt_block.reshape(-1)
+    tl = tgt_lr.reshape(-1)
+    occ = np.flatnonzero(tb >= 0)
+    # stack pieces per (block, lr): round-robin rows 0..(K-1)
+    o6 = np.lexsort((occ, tl[occ], tb[occ]))
+    oc = occ[o6]
+    kk = (tb[oc] * LANES + tl[oc])
+    kchg = np.concatenate([[True], kk[1:] != kk[:-1]])
+    st6 = np.flatnonzero(kchg)
+    ln6 = np.diff(np.concatenate([st6, [oc.size]]))
+    piece = np.arange(oc.size) - np.repeat(st6, ln6)
+    rounds = int(-(-(int(piece.max()) + 1) // STRIPE)) if oc.size else 1
+    stack_rows = nblocks * STRIPE * rounds
+    src_of_fix = np.full(stack_rows * LANES, -1, dtype=np.int64)
+    rdx = piece // STRIPE
+    dst = ((rdx * nblocks + tb[oc]) * STRIPE + piece % STRIPE) * LANES + tl[oc]
+    # y_lane linear slot of each piece: row = panel*8+d1, lane
+    src_lin = oc  # (panel*NDIG + d1)*LANES + lane == y_lane slot ✓
+    src_of_fix[dst] = src_lin
+    ylr = -(-ylane_rows // STRIPE) * STRIPE
+    fixg = build_gather_plan(ylr, stack_rows, src_of_fix)
+
+    # ---- mexp: compact y -> dense rows (v2 gather)
+    dense_rows = -(-(-(-dense_len // LANES)) // STRIPE) * STRIPE
+    if iv_dense is not None:
+        iv = np.asarray(iv_dense, np.int64)
+        src_mx = np.full(dense_rows * LANES, -1, dtype=np.int64)
+        src_mx[:iv.size] = np.where(iv >= 0, iv, -1)
+    else:
+        src_mx = np.arange(dense_rows * LANES, dtype=np.int64)
+        src_mx[min(NR, dense_len):] = -1
+    mexp_plan = build_gather_plan(nblocks, dense_rows, src_mx)
+
+    return Spmv3Plan(
+        NC=NC, NR=NR, nblocks=nblocks, n_edges=E,
+        xext_rows=xext_rows, exp_panels=exp_panels, pa_panels=pa_panels,
+        pa_nwin=NWIN, exp_route=exp_route, pa_route=pa_route,
+        pa_bases=pa_bases, w_stream=w_stream, fix_rounds=rounds,
+        xext=xext_plan, fixg=fixg, mexp=mexp_plan, dense_rows=dense_rows)
+
+
+def simulate_spmv3(plan: Spmv3Plan, x: np.ndarray, fill, reduce_kind="sum",
+                   mul_kind="none") -> np.ndarray:
+    """Numpy oracle of the whole v3 pipeline: x (NC,) -> y_compact
+    (nblocks*128,). Mirrors the kernel sequence exactly."""
+    from graphtap_tpu.kernels.gather_plan import simulate_gather
+    red = {"sum": np.add, "min": np.minimum, "max": np.maximum}[reduce_kind]
+    sx = plan.xext.src_rows
+    x2d = np.full((sx, LANES), fill, x.dtype)
+    x2d.reshape(-1)[:x.size] = x
+    x_ext = simulate_gather(plan.xext, x2d, fill)
+    s0 = simulate_route(plan.exp_route, x_ext, plan.exp_panels)
+    if plan.w_stream is not None:
+        if mul_kind == "mul":
+            s0 = s0 * plan.w_stream
+        elif mul_kind == "add_sat":
+            s0 = np.where(s0 >= fill, fill, s0 + plan.w_stream)
+    # pass A: assemble NWIN stripe windows per panel, then route
+    blocks = np.concatenate(
+        [s0.reshape(-1, STRIPE, LANES),
+         np.full((1, STRIPE, LANES), fill, s0.dtype)], axis=0)
+    v = blocks[plan.pa_bases.reshape(plan.pa_panels, plan.pa_nwin)]
+    v = v.reshape(plan.pa_panels * plan.pa_nwin * STRIPE, LANES)
+    s1 = simulate_route(plan.pa_route, v, plan.pa_panels)
+    # pass B: column-⊕ within each d1 stripe
+    s1 = s1.reshape(plan.pa_panels, NDIG, STRIPE, LANES)
+    y_lane = red.reduce(s1, axis=2).reshape(-1, LANES)
+    ylr = -(-y_lane.shape[0] // STRIPE) * STRIPE
+    ylp = np.full((ylr, LANES), fill, y_lane.dtype)
+    ylp[:y_lane.shape[0]] = y_lane
+    ystack = simulate_gather(plan.fixg, ylp, fill)
+    ystack = ystack.reshape(plan.fix_rounds, plan.nblocks, STRIPE, LANES)
+    y = red.reduce(red.reduce(ystack, axis=2), axis=0)
+    return y.reshape(-1)
