@@ -51,16 +51,25 @@ NDIG = 8                   # radix: 3 bits per pass
 CODE_BITS = 6              # block code bits per super: 2 passes of 3
 NSUP_BLOCKS = 1 << CODE_BITS   # 64 blocks (8192 compact rows) per super
 XROWS = 32                 # x_ext panel rows (4096 column slots)
-SLOT_W = 120               # x_ext slots per row (8 spare lanes per row
+SLOT_W = 112               # x_ext slots per row (16 spare lanes per row
                            # keep stage-1 entry assignment off full load)
 XCAP = (XROWS - 1) * SLOT_W  # last x_ext row reserved as fill
-QUOTA = 960                # elements per digit stripe (1024 slots - slack:
+QUOTA = 900                # elements per digit stripe (1024 slots - slack:
                            # the route's greedy two-choice lane assignment
                            # needs ~6% free entries to stay off the full-
                            # load Konig regime)
 DUP_CAP = 128              # max edges per x_ext slot: hub columns get
                            # multiple slots so one source entry never
                            # starves its row's stage-1 lane entries
+
+
+def _concat_ranges(lengths: np.ndarray) -> np.ndarray:
+    """[arange(l) for l in lengths], concatenated (vectorized)."""
+    lengths = np.asarray(lengths, np.int64)
+    total = int(lengths.sum())
+    out = np.arange(total, dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    return out - np.repeat(starts, lengths)
 
 
 @dataclass
@@ -109,27 +118,146 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
         (src_r >= fill_from)
     rc = np.where(is_fill, -1, rc).astype(np.int32)
 
-    # phase 1: real slots only (fills are fully flexible and go last)
-    pend = np.flatnonzero(~is_fill)
-    for k in range(2 * LANES):
-        if pend.size == 0:
-            break
-        m = (src_c[pend] + STRIPE * k + k) % LANES
-        pp = panel_of[pend]
-        sa = src_at[pp, src_r[pend], m]
-        ok_src = (sa == 0) | (sa == c1[pend]) | is_fill[pend]
-        # row/layer choice within the stripe (per-slot offset avoids
-        # herding every slot onto the stripe's first free row)
-        roff = (pend + k) % STRIPE
-        rows8 = dst_stripe[pend] * STRIPE + \
-            (np.arange(STRIPE)[:, None] + roff[None, :]) % STRIPE
-        if free_lane:
-            cell_free = ~final_used[pp[None], rows8, m[None]]   # (8, n)
-            tsel = np.argmax(cell_free, axis=0)
-            ok = ok_src & cell_free.any(axis=0)
-            lay = np.zeros(pend.size, dtype=np.int64)
-            lane_fin = m
-        else:
+    # phase 1: real slots only (fills are fully flexible and go last).
+    # Free-lane mode is group-centric: duplicate slots of one source
+    # (panel, r, c) move TOGETHER to a shared intermediate lane m, taking
+    # up to 8 cells per touched stripe per round — this is what keeps a
+    # source row's 128 stage-1 entries sufficient for its ~120 distinct
+    # source lanes.
+    real = np.flatnonzero(~is_fill)
+    if free_lane:
+        gkey = (panel_of[real] * src_rows + src_r[real]) * LANES + \
+            src_c[real]
+        o = np.argsort(gkey, kind="stable")
+        kk = gkey[o]
+        newg = np.concatenate([[True], kk[1:] != kk[:-1]])
+        gid_r = np.cumsum(newg) - 1
+        gid = np.empty(real.size, dtype=np.int64)
+        gid[o] = gid_r
+        G = int(gid_r[-1]) + 1 if real.size else 0
+        gsize = np.bincount(gid, minlength=G)
+        pend = real
+        for k in range(4 * LANES):
+            if pend.size == 0:
+                break
+            g = gid[np.searchsorted(real, pend)]
+            m = (src_c[pend] + 9 * k + (g % 7)) % LANES
+            pp = panel_of[pend]
+            sa = src_at[pp, src_r[pend], m]
+            ok_src = (sa == 0) | (sa == c1[pend])
+            # src entry race: one (p, r, m) per c — biggest group first
+            keys = (pp * src_rows + src_r[pend]) * LANES + m
+            o1 = np.lexsort((-gsize[g], np.where(ok_src, keys, -1)))
+            kk1 = np.where(ok_src, keys, -1)[o1]
+            first = np.concatenate([[True], kk1[1:] != kk1[:-1]])
+            runs = np.cumsum(first) - 1
+            leadc = c1[pend][o1][np.flatnonzero(first)][runs]
+            agree = np.zeros(pend.size, dtype=bool)
+            agree[o1] = c1[pend][o1] == leadc
+            ok = ok_src & agree
+            # cell allocation per (p, stripe, m): rank among claimants
+            ckey = (pp * NDIG + dst_stripe[pend]) * LANES + m
+            o2 = np.lexsort((-gsize[g], np.where(ok, ckey, -1)))
+            kk2 = np.where(ok, ckey, -1)[o2]
+            first2 = np.concatenate([[True], kk2[1:] != kk2[:-1]])
+            rnk = np.arange(pend.size) - np.repeat(
+                np.flatnonzero(first2),
+                np.diff(np.concatenate([np.flatnonzero(first2),
+                                        [pend.size]])))
+            rank2 = np.empty(pend.size, dtype=np.int64)
+            rank2[o2] = rnk
+            base_used = np.zeros((npanels, NDIG, LANES), dtype=np.int64)
+            np.add.at(base_used, (panel_of[real], dst_stripe[real], 0), 0)
+            used8 = final_used.reshape(npanels, NDIG, STRIPE, LANES)
+            ucount = used8[pp, dst_stripe[pend], :, m].sum(axis=1)
+            rowpick = ucount + rank2
+            take = ok & (rowpick < STRIPE)
+            # rowpick is a count, not a row index: choose the
+            # (rank2+1)-th free row at (stripe, m)
+            t = pend[take]
+            tm = m[take]
+            free8 = ~used8[panel_of[t], dst_stripe[t], :, tm]   # (n,8)
+            csum = np.cumsum(free8, axis=1)
+            trow = np.argmax(csum == (rank2[take] + 1)[:, None], axis=1)
+            row_fin = dst_stripe[t] * STRIPE + trow
+            m_of[t] = tm
+            row_of[t] = row_fin
+            pick[t] = 0
+            src_at[panel_of[t], src_r[t], tm] = c1[t]
+            land[0, panel_of[t], row_fin, tm] = rc[t]
+            final_used[panel_of[t], row_fin, tm] = True
+            final_who[panel_of[t], row_fin, tm] = t
+            pend = pend[~take]
+
+        # tail repair: place stragglers by relocating one blocker
+        def _viable_m(e):
+            sa_row = src_at[panel_of[e], src_r[e]]
+            return np.flatnonzero((sa_row == 0) | (sa_row == c1[e]))
+
+        def _free_row(p, stripe_, m):
+            rows = stripe_ * STRIPE + np.arange(STRIPE)
+            fr = np.flatnonzero(~final_used[p, rows, m])
+            return int(rows[fr[0]]) if fr.size else -1
+
+        def _place(e, m, row):
+            p = panel_of[e]
+            m_of[e] = m
+            row_of[e] = row
+            pick[e] = 0
+            src_at[p, src_r[e], m] = c1[e]
+            land[0, p, row, m] = rc[e]
+            final_used[p, row, m] = True
+            final_who[p, row, m] = e
+
+        for e in pend.tolist():
+            p = int(panel_of[e])
+            done = False
+            for m in _viable_m(e):
+                row = _free_row(p, dst_stripe[e], int(m))
+                if row >= 0:
+                    _place(e, int(m), row)
+                    done = True
+                    break
+            if done:
+                continue
+            for m in _viable_m(e):
+                rows = dst_stripe[e] * STRIPE + np.arange(STRIPE)
+                for row in rows:
+                    b = int(final_who[p, row, m])
+                    if b < 0 or is_fill[b]:
+                        continue
+                    for m2 in _viable_m(b):
+                        if m2 == m and True:
+                            pass
+                        row2 = _free_row(p, dst_stripe[b], int(m2))
+                        if row2 >= 0 and not (m2 == m and row2 == row):
+                            # move blocker, then take its old cell
+                            land[0, p, row, m] = 0
+                            final_used[p, row, m] = False
+                            final_who[p, row, m] = -1
+                            _place(b, int(m2), row2)
+                            _place(e, int(m), int(row))
+                            done = True
+                            break
+                    if done:
+                        break
+                if done:
+                    break
+            if not done:
+                raise ValueError("route: unplaceable slot after repair")
+        pend = np.zeros(0, dtype=np.int64)
+    else:
+        pend = real
+        for k in range(2 * LANES):
+            if pend.size == 0:
+                break
+            m = (src_c[pend] + STRIPE * k + k) % LANES
+            pp = panel_of[pend]
+            sa = src_at[pp, src_r[pend], m]
+            ok_src = (sa == 0) | (sa == c1[pend])
+            roff = (pend + k) % STRIPE
+            rows8 = dst_stripe[pend] * STRIPE + \
+                (np.arange(STRIPE)[:, None] + roff[None, :]) % STRIPE
             la = land[0, pp[None], rows8, m[None]]
             lb = land[1, pp[None], rows8, m[None]]
             fin_free = ~final_used[pp[None], rows8, dst_lane[pend][None]]
@@ -138,41 +266,39 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
             okrow = ok_a | ok_b
             tsel = np.argmax(okrow, axis=0)
             ok = ok_src & okrow.any(axis=0)
-            lay = np.where(ok_a[tsel, np.arange(pend.size)], 0, 1)
+            ar = np.arange(pend.size)
+            lay = np.where(ok_a[tsel, ar], 0, 1)
             lane_fin = dst_lane[pend]
-        row_fin = rows8[tsel, np.arange(pend.size)]
-        # claim races: src entries share by c; landings share by rc;
-        # final cells are exclusive (first wins)
-        take = ok.copy()
-        keysets = [((pp * src_rows + src_r[pend]) * LANES + m, rc[pend]),
-                   (((lay * npanels + pp) * PROWS + row_fin) * LANES + m,
-                    rc[pend]),
-                   ((pp * PROWS + row_fin) * LANES + lane_fin, None)]
-        for keys, share in keysets:
-            o = np.lexsort((np.arange(pend.size),
-                            np.where(take, keys, -1)))
-            kk = np.where(take, keys, -1)[o]
-            first = np.concatenate([[True], kk[1:] != kk[:-1]])
-            if share is None:
-                agree = np.zeros(pend.size, dtype=bool)
-                agree[o] = first
-                agree |= ~take
-            else:
-                runs = np.cumsum(first) - 1
-                lead = share[o][np.flatnonzero(first)][runs]
-                agree = np.zeros(pend.size, dtype=bool)
-                agree[o] = share[o] == lead
-            take &= agree
-        t = pend[take]
-        tm = m[take]
-        lane_fin_t = tm if free_lane else dst_lane[t]
-        m_of[t] = tm
-        row_of[t] = row_fin[take]
-        pick[t] = lay[take]
-        src_at[panel_of[t], src_r[t], tm] = c1[t]
-        land[lay[take], panel_of[t], row_of[t], tm] = rc[t]
-        final_used[panel_of[t], row_of[t], lane_fin_t] = True
-        pend = pend[~take]
+            row_fin = rows8[tsel, ar]
+            take = ok.copy()
+            keysets = [((pp * src_rows + src_r[pend]) * LANES + m,
+                        rc[pend]),
+                       (((lay * npanels + pp) * PROWS + row_fin) * LANES
+                        + m, rc[pend]),
+                       ((pp * PROWS + row_fin) * LANES + lane_fin, None)]
+            for keys, share in keysets:
+                o = np.lexsort((ar, np.where(take, keys, -1)))
+                kk = np.where(take, keys, -1)[o]
+                first = np.concatenate([[True], kk[1:] != kk[:-1]])
+                if share is None:
+                    agree = np.zeros(pend.size, dtype=bool)
+                    agree[o] = first
+                    agree |= ~take
+                else:
+                    runs = np.cumsum(first) - 1
+                    lead = share[o][np.flatnonzero(first)][runs]
+                    agree = np.zeros(pend.size, dtype=bool)
+                    agree[o] = share[o] == lead
+                take &= agree
+            t = pend[take]
+            tm = m[take]
+            m_of[t] = tm
+            row_of[t] = row_fin[take]
+            pick[t] = lay[take]
+            src_at[panel_of[t], src_r[t], tm] = c1[t]
+            land[lay[take], panel_of[t], row_of[t], tm] = rc[t]
+            final_used[panel_of[t], row_of[t], dst_lane[t]] = True
+            pend = pend[~take]
     if pend.size:
         raise ValueError(f"route: {pend.size} unplaceable real slots")
 
@@ -349,29 +475,31 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     sup = blk >> CODE_BITS
     nsup = int(sup.max()) + 1 if E else 1
     bis = blk & (NSUP_BLOCKS - 1)
-    # balanced codes: bit-reversed by size rank per super
+    # balanced codes: size-ranked blocks dealt diagonally over (d0, d1)
+    # so both pass quotas see balanced mass; small supers replicate each
+    # block over several codes (the fixup ⊕-merges the pieces) so no
+    # stripe goes structurally empty
     sizes = np.bincount(sup * NSUP_BLOCKS + bis,
                         minlength=nsup * NSUP_BLOCKS
                         ).reshape(nsup, NSUP_BLOCKS) if E else \
         np.zeros((1, NSUP_BLOCKS), np.int64)
     rank = np.argsort(np.argsort(-sizes, axis=1, kind="stable"),
                       axis=1, kind="stable")
-    rev = np.zeros(NSUP_BLOCKS, np.int64)
-    for i in range(CODE_BITS):
-        rev |= ((np.arange(NSUP_BLOCKS) >> i) & 1) << (CODE_BITS - 1 - i)
-    codes_tab = rev[rank]
-    # block of a code (per super): inverse permutation
-    block_of_code = np.empty_like(codes_tab)
-    np.put_along_axis(block_of_code, codes_tab,
-                      np.arange(NSUP_BLOCKS)[None].repeat(nsup, 0), axis=1)
+    bp = np.maximum((sizes > 0).sum(axis=1), 1)          # blocks per super
+    nb2 = 1 << np.ceil(np.log2(bp)).astype(np.int64)
+    reps = np.maximum(1, NSUP_BLOCKS // nb2)
 
+    order = np.lexsort((cols, sup)) if E else np.zeros(0, np.int64)
     order = np.lexsort((cols, sup)) if E else np.zeros(0, np.int64)
     e_sup = sup[order]
     e_col = cols[order]
     e_row = rows[order]
-    e_code = codes_tab[e_sup, bis[order]]
-    e_d0 = e_code & (NDIG - 1)
-    e_d1 = e_code >> 3
+    e_rank = rank[e_sup, bis[order]]
+    e_reps = reps[e_sup]
+    idx = e_rank * e_reps + (e_col % e_reps)
+    e_d0 = idx % NDIG
+    e_d1 = (idx // NDIG + idx) % NDIG
+    e_code = e_d0 | (e_d1 << 3)
     e_w = np.asarray(weights)[order] if weights is not None else None
 
     # ---- edge-panel packing: per super, col order; close a panel when a
@@ -402,10 +530,26 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
                 m = min(m, int(np.searchsorted(cnt, QUOTA + 1)))
         panel_of[i:i + m] = p
         u = seg_c[:m][slot_start[:m]]
-        x_lists.append(u)
-        nd = ndist[:m] - 1
-        xe_pos[i:i + m] = (p * XROWS * LANES + (nd // SLOT_W) * LANES
-                           + nd % SLOT_W)
+        # layout: the panel's top-31 heaviest slots get one dedicated
+        # slot per row (lane SLOT_W-1) so no row's stage-1 entries are
+        # starved by hub hunting; the rest stay column-sorted row-major
+        # (monotone sources keep the x->x_ext gather window-local)
+        sid = np.cumsum(slot_start[:m]) - 1
+        scount = np.bincount(sid, minlength=u.size)
+        nhub = min(XROWS - 1, u.size)
+        hub_ids = np.sort(np.argsort(-scount, kind="stable")[:nhub])
+        is_hub = np.zeros(u.size, dtype=bool)
+        is_hub[hub_ids] = True
+        rows_ = np.empty(u.size, dtype=np.int64)
+        lanes_ = np.empty(u.size, dtype=np.int64)
+        rows_[hub_ids] = np.arange(nhub)
+        lanes_[hub_ids] = SLOT_W - 1
+        rest = np.flatnonzero(~is_hub)
+        rows_[rest] = np.arange(rest.size) // (SLOT_W - 1)
+        lanes_[rest] = np.arange(rest.size) % (SLOT_W - 1)
+        x_lists.append((u, rows_, lanes_))
+        xe_pos[i:i + m] = (p * XROWS * LANES + rows_[sid] * LANES
+                           + lanes_[sid])
         p += 1
         i += m
     exp_panels = max(1, p)
@@ -413,10 +557,8 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     # ---- x_ext gather plan (v2 windowed_gather: x table -> x_ext)
     xext_rows = exp_panels * XROWS
     src_of_x = np.full(xext_rows * LANES, -1, dtype=np.int64)
-    for q, u in enumerate(x_lists):
-        sl = np.arange(u.size)
-        src_of_x[q * XROWS * LANES + (sl // SLOT_W) * LANES
-                 + sl % SLOT_W] = u
+    for q, (u, rows_, lanes_) in enumerate(x_lists):
+        src_of_x[q * XROWS * LANES + rows_ * LANES + lanes_] = u
     sxrows = -(-(-(-NC // LANES)) // STRIPE) * STRIPE
     xext_plan = build_gather_plan(sxrows, xext_rows, src_of_x)
 
@@ -440,6 +582,7 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
         fill_from=XROWS - 1)
     e_erow = exp_rows_all[:E]
     e_elane = exp_lanes_all[:E]
+    pos_in_stripe = (e_erow % STRIPE) * LANES + e_elane
 
     w_stream = None
     if e_w is not None:
@@ -468,8 +611,9 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     e_pan = np.full(E, -1, dtype=np.int64)
     pan_meta: List[Tuple[int, int, int]] = []   # (super, d0, j0) per panel
     pan_bases: List[np.ndarray] = []
+    pan_lo_all: List[int] = []
     reg_key = e_sup * NDIG + e_d0
-    ro = np.lexsort((rank_in, strip_ord, e_d1, reg_key))
+    ro = np.lexsort((pos_in_stripe, strip_ord, e_d1, reg_key))
     # per-(region,d1) contiguous runs in ro
     rk = reg_key[ro]
     d1o = e_d1[ro]
@@ -494,27 +638,50 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
         j = 0
         while not done:
             done = True
+            # anchor the stripe window at the laggard pointer so the
+            # backlog can never escape it
+            lo = nstripes
             for d1 in range(NDIG):
-                a, b_ = run_of.get(int(reg) * NDIG + d1, (0, 0))
-                p0 = max(ptr[d1], a)
+                a_, b_ = run_of.get(int(reg) * NDIG + d1, (0, 0))
+                p0 = max(ptr[d1], a_)
                 if p0 < b_:
-                    # take elements with stripe < 8j+FWD, up to 1024
+                    lo = min(lo, int(so[p0]))
+            if lo >= nstripes:
+                break
+            for d1 in range(NDIG):
+                a_, b_ = run_of.get(int(reg) * NDIG + d1, (0, 0))
+                p0 = max(ptr[d1], a_)
+                if p0 < b_:
                     hi = p0 + int(np.searchsorted(
-                        so[p0:b_], STRIPE * j + FWD, "left"))
+                        so[p0:b_], lo + NWIN - 1, "left"))
                     hi = min(hi, p0 + QUOTA)
                     if hi > p0:
+                        # lane-purity capacity: a stripe has 128 lanes and
+                        # a lane holds 8 rows of ONE (block, lr) — cap the
+                        # take at 120 lane-bins (slack for the route)
+                        lrs = e_row[ro[p0:hi]] % LANES
+                        o_ = np.argsort(lrs, kind="stable")
+                        ls = lrs[o_]
+                        newl = np.concatenate([[True], ls[1:] != ls[:-1]])
+                        st_ = np.flatnonzero(newl)
+                        rnk = np.arange(ls.size) - np.repeat(
+                            st_, np.diff(np.concatenate([st_, [ls.size]])))
+                        binflag = np.zeros(ls.size, dtype=np.int64)
+                        binflag[o_] = (rnk % STRIPE == 0)
+                        cumbins = np.cumsum(binflag)
+                        hi = p0 + int(np.searchsorted(cumbins, 121, "left"))
+                    if hi > p0:
                         idx = ro[p0:hi]
-                        assert int(so[p0]) >= STRIPE * j - BACK,                             "pass-A backlog exceeded BACK"
                         e_pan[idx] = pa_panels
                         ptr[d1] = hi
                     if hi < b_:
                         done = False
             base0 = sup_pan0[s_id] * NDIG + d0  # first stripe blk of region
-            w = np.arange(STRIPE * j - BACK, STRIPE * j + FWD)
-            wb = np.where((w >= 0) & (w < nstripes),
-                          base0 + w * NDIG, fill_block)
+            w = np.arange(lo, lo + NWIN - 1)
+            wb = np.where(w < nstripes, base0 + w * NDIG, fill_block)
             pan_bases.append(np.concatenate([wb, [fill_block]]))
             pan_meta.append((s_id, d0, j))
+            pan_lo_all.append(lo)
             pa_panels += 1
             j += 1
     assert (e_pan >= 0).all() if E else True
@@ -522,9 +689,9 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
                 if pan_bases else np.zeros(NWIN, np.int32))
 
     # window index of each element within its pass-A panel
-    pan_j = np.array([m[2] for m in pan_meta], dtype=np.int64) \
-        if pan_meta else np.zeros(1, np.int64)
-    e_win = strip_ord - (STRIPE * pan_j[e_pan] - BACK)
+    pan_lo_a = np.array(pan_lo_all, dtype=np.int64) if pan_lo_all \
+        else np.zeros(1, np.int64)
+    e_win = strip_ord - pan_lo_a[e_pan]
     assert E == 0 or ((e_win >= 0).all() and (e_win < NWIN - 1).all())
     pa_src_row = e_win * STRIPE + e_erow % STRIPE
     pa_src_lane = e_elane
@@ -533,7 +700,7 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     # mixes lr values, so the fixup map is one (block, lr) per lane
     lr_e = e_row % LANES
     k5 = e_pan * NDIG + e_d1
-    o5 = np.lexsort((rank_in, strip_ord, lr_e, k5))
+    o5 = np.lexsort((pos_in_stripe, strip_ord, lr_e, k5))
     k5s = k5[o5]
     lr5 = lr_e[o5]
     newlane = np.concatenate([[True], (k5s[1:] != k5s[:-1]) |
