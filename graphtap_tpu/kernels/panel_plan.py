@@ -61,6 +61,10 @@ QUOTA = 900                # elements per digit stripe (1024 slots - slack:
 DUP_CAP = 128              # max edges per x_ext slot: hub columns get
                            # multiple slots so one source entry never
                            # starves its row's stage-1 lane entries
+DCAP = 96                  # stage-1 entry demand per x_ext row (of 128)
+BBLK_STEP = 14             # max distinct source x-blocks per 8-row step
+                           # of x_ext (keeps the x->x_ext gather
+                           # window-local)
 
 
 def _concat_ranges(lengths: np.ndarray) -> np.ndarray:
@@ -101,13 +105,14 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
     N = src_r.size
     assert N == npanels * PSLOTS, (N, npanels)
     free_lane = dst_lane is None
-    nlayer = 1 if free_lane else 2
+    nlayer = 2
     src_at = np.zeros((npanels, src_rows, LANES), dtype=np.int16)   # c+1
     land = np.zeros((nlayer, npanels, PROWS, LANES), dtype=np.int32)
     final_used = np.zeros((npanels, PROWS, LANES), dtype=bool)
     final_who = np.full((npanels, PROWS, LANES), -1, dtype=np.int64)
     m_of = np.full(N, -1, dtype=np.int64)
     row_of = np.full(N, -1, dtype=np.int64)
+    lane_fin_arr = np.full(N, -1, dtype=np.int64)
     pick = np.zeros(N, dtype=np.int64)
     rc = (src_r * LANES + src_c + 1).astype(np.int32)
     c1 = (src_c + 1).astype(np.int16)
@@ -136,57 +141,68 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
         gid[o] = gid_r
         G = int(gid_r[-1]) + 1 if real.size else 0
         gsize = np.bincount(gid, minlength=G)
+        gm = np.full(G, -1, dtype=np.int64)     # a group's claimed lane
         pend = real
         for k in range(4 * LANES):
             if pend.size == 0:
                 break
             g = gid[np.searchsorted(real, pend)]
-            m = (src_c[pend] + 9 * k + (g % 7)) % LANES
+            fresh = (src_c[pend] * 37 + 53 * (k // 2) + g * 17) % LANES
+            # even rounds reuse the group's claimed stage-1 entry
+            m = np.where((k % 2 == 0) & (gm[g] >= 0), gm[g], fresh)
             pp = panel_of[pend]
             sa = src_at[pp, src_r[pend], m]
             ok_src = (sa == 0) | (sa == c1[pend])
-            # src entry race: one (p, r, m) per c — biggest group first
-            keys = (pp * src_rows + src_r[pend]) * LANES + m
-            o1 = np.lexsort((-gsize[g], np.where(ok_src, keys, -1)))
-            kk1 = np.where(ok_src, keys, -1)[o1]
-            first = np.concatenate([[True], kk1[1:] != kk1[:-1]])
-            runs = np.cumsum(first) - 1
-            leadc = c1[pend][o1][np.flatnonzero(first)][runs]
-            agree = np.zeros(pend.size, dtype=bool)
-            agree[o1] = c1[pend][o1] == leadc
-            ok = ok_src & agree
-            # cell allocation per (p, stripe, m): rank among claimants
-            ckey = (pp * NDIG + dst_stripe[pend]) * LANES + m
-            o2 = np.lexsort((-gsize[g], np.where(ok, ckey, -1)))
-            kk2 = np.where(ok, ckey, -1)[o2]
-            first2 = np.concatenate([[True], kk2[1:] != kk2[:-1]])
-            rnk = np.arange(pend.size) - np.repeat(
-                np.flatnonzero(first2),
-                np.diff(np.concatenate([np.flatnonzero(first2),
-                                        [pend.size]])))
-            rank2 = np.empty(pend.size, dtype=np.int64)
-            rank2[o2] = rnk
-            base_used = np.zeros((npanels, NDIG, LANES), dtype=np.int64)
-            np.add.at(base_used, (panel_of[real], dst_stripe[real], 0), 0)
-            used8 = final_used.reshape(npanels, NDIG, STRIPE, LANES)
-            ucount = used8[pp, dst_stripe[pend], :, m].sum(axis=1)
-            rowpick = ucount + rank2
-            take = ok & (rowpick < STRIPE)
-            # rowpick is a count, not a row index: choose the
-            # (rank2+1)-th free row at (stripe, m)
+            # landing row: any stripe row whose (row, m) landing is free
+            # or already carries this (r, c)
+            roff = (pend + k) % STRIPE
+            rows8 = dst_stripe[pend] * STRIPE + \
+                (np.arange(STRIPE)[:, None] + roff[None, :]) % STRIPE
+            la = land[0, pp[None], rows8, m[None]]
+            lb = land[1, pp[None], rows8, m[None]]
+            ok_a = (la == 0) | (la == rc[pend][None])
+            ok_b = (lb == 0) | (lb == rc[pend][None])
+            okrow = ok_a | ok_b
+            tsel = np.argmax(okrow, axis=0)
+            ok = ok_src & okrow.any(axis=0)
+            ar = np.arange(pend.size)
+            lay = np.where(ok_a[tsel, ar], 0, 1)
+            row_fin = rows8[tsel, ar]
+            # final lane: probe a hashed lane for a free final cell
+            lane_try = (m + 29 * (pend % 31) + k) % LANES
+            ok &= ~final_used[pp, row_fin, lane_try]
+            take = ok.copy()
+            keysets = [((pp * src_rows + src_r[pend]) * LANES + m,
+                        rc[pend]),
+                       (((lay * npanels + pp) * PROWS + row_fin) * LANES
+                        + m, rc[pend]),
+                       ((pp * PROWS + row_fin) * LANES + lane_try, None)]
+            for keys, share in keysets:
+                o = np.lexsort((ar, np.where(take, keys, -1)))
+                kk = np.where(take, keys, -1)[o]
+                first = np.concatenate([[True], kk[1:] != kk[:-1]])
+                if share is None:
+                    agree = np.zeros(pend.size, dtype=bool)
+                    agree[o] = first
+                    agree |= ~take
+                else:
+                    runs = np.cumsum(first) - 1
+                    lead = share[o][np.flatnonzero(first)][runs]
+                    agree = np.zeros(pend.size, dtype=bool)
+                    agree[o] = share[o] == lead
+                take &= agree
             t = pend[take]
             tm = m[take]
-            free8 = ~used8[panel_of[t], dst_stripe[t], :, tm]   # (n,8)
-            csum = np.cumsum(free8, axis=1)
-            trow = np.argmax(csum == (rank2[take] + 1)[:, None], axis=1)
-            row_fin = dst_stripe[t] * STRIPE + trow
+            tl = lane_try[take]
             m_of[t] = tm
-            row_of[t] = row_fin
-            pick[t] = 0
+            row_of[t] = row_fin[take]
+            lane_fin_arr[t] = tl
+            pick[t] = lay[take]
             src_at[panel_of[t], src_r[t], tm] = c1[t]
-            land[0, panel_of[t], row_fin, tm] = rc[t]
-            final_used[panel_of[t], row_fin, tm] = True
-            final_who[panel_of[t], row_fin, tm] = t
+            land[lay[take], panel_of[t], row_of[t], tm] = rc[t]
+            final_used[panel_of[t], row_of[t], tl] = True
+            final_who[panel_of[t], row_of[t], tl] = t
+            gm[gid[np.searchsorted(real, t)]] = tm
             pend = pend[~take]
 
         # tail repair: place stragglers by relocating one blocker
@@ -194,50 +210,67 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
             sa_row = src_at[panel_of[e], src_r[e]]
             return np.flatnonzero((sa_row == 0) | (sa_row == c1[e]))
 
-        def _free_row(p, stripe_, m):
-            rows = stripe_ * STRIPE + np.arange(STRIPE)
-            fr = np.flatnonzero(~final_used[p, rows, m])
-            return int(rows[fr[0]]) if fr.size else -1
+        def _spot(e, m):
+            """(row, lane, layer) for e at intermediate lane m, or None."""
+            p = panel_of[e]
+            rows = dst_stripe[e] * STRIPE + np.arange(STRIPE)
+            for ly in range(2):
+                la = land[ly, p, rows, m]
+                for t in range(STRIPE):
+                    if la[t] == 0 or la[t] == rc[e]:
+                        fl = np.flatnonzero(~final_used[p, rows[t]])
+                        if fl.size:
+                            return int(rows[t]), int(fl[0]), ly
+            return None
 
-        def _place(e, m, row):
+        def _place(e, m, row, lane, ly):
             p = panel_of[e]
             m_of[e] = m
             row_of[e] = row
-            pick[e] = 0
+            lane_fin_arr[e] = lane
+            pick[e] = ly
             src_at[p, src_r[e], m] = c1[e]
-            land[0, p, row, m] = rc[e]
-            final_used[p, row, m] = True
-            final_who[p, row, m] = e
+            land[ly, p, row, m] = rc[e]
+            final_used[p, row, lane] = True
+            final_who[p, row, lane] = e
 
         for e in pend.tolist():
             p = int(panel_of[e])
             done = False
             for m in _viable_m(e):
-                row = _free_row(p, dst_stripe[e], int(m))
-                if row >= 0:
-                    _place(e, int(m), row)
+                sp = _spot(e, int(m))
+                if sp is not None:
+                    _place(e, int(m), sp[0], sp[1], sp[2])
                     done = True
                     break
             if done:
                 continue
+            # relocate one blocker: free a final cell in a row whose
+            # landing at some viable m is free/matching
             for m in _viable_m(e):
                 rows = dst_stripe[e] * STRIPE + np.arange(STRIPE)
                 for row in rows:
-                    b = int(final_who[p, row, m])
-                    if b < 0 or is_fill[b]:
+                    l0 = land[0, p, row, m]
+                    l1 = land[1, p, row, m]
+                    ly_e = 0 if (l0 == 0 or l0 == rc[e]) else \
+                        (1 if (l1 == 0 or l1 == rc[e]) else -1)
+                    if ly_e < 0:
                         continue
-                    for m2 in _viable_m(b):
-                        if m2 == m and True:
-                            pass
-                        row2 = _free_row(p, dst_stripe[b], int(m2))
-                        if row2 >= 0 and not (m2 == m and row2 == row):
-                            # move blocker, then take its old cell
-                            land[0, p, row, m] = 0
-                            final_used[p, row, m] = False
-                            final_who[p, row, m] = -1
-                            _place(b, int(m2), row2)
-                            _place(e, int(m), int(row))
-                            done = True
+                    for lane in range(LANES):
+                        bslot = int(final_who[p, row, lane])
+                        if bslot < 0 or is_fill[bslot]:
+                            continue
+                        for m2 in _viable_m(bslot):
+                            sp = _spot(bslot, int(m2))
+                            if sp is not None:
+                                final_used[p, row, lane] = False
+                                final_who[p, row, lane] = -1
+                                _place(bslot, int(m2), sp[0], sp[1], sp[2])
+                                _place(e, int(m), int(row), int(lane),
+                                       ly_e)
+                                done = True
+                                break
+                        if done:
                             break
                     if done:
                         break
@@ -307,42 +340,38 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
     fills = np.flatnonzero(is_fill)
     if fills.size:
         if free_lane:
-            # bijection per (panel, stripe): leftover cells in order
+            # leftover final cells per (panel, stripe), in order; the
+            # intermediate lane must have a free or fill-shared landing
             fp = panel_of[fills]
             fkey = fp * NDIG + dst_stripe[fills]
             fo = np.argsort(fkey, kind="stable")
-            cells = ~final_used.reshape(npanels, NDIG,
-                                        STRIPE * LANES)
+            cells = ~final_used.reshape(npanels, NDIG, STRIPE * LANES)
             cp, cs, cc = np.nonzero(cells)
             ckey = cp * NDIG + cs
             co = np.argsort(ckey, kind="stable")
             assert fo.size <= co.size
-            # leftovers in each (panel, stripe) == its fill count
             fsl = fills[fo]
             crow = (cc[co] // LANES)[:fsl.size]
             clane = (cc[co] % LANES)[:fsl.size]
-            row_of[fsl] = dst_stripe[fsl] * STRIPE + crow
-            m_of[fsl] = clane
+            rowg = dst_stripe[fsl] * STRIPE + crow
+            lane_fin_arr[fsl] = clane
+            row_of[fsl] = rowg
             pick[fsl] = 0
-            land[0, panel_of[fsl], row_of[fsl], m_of[fsl]] = \
-                np.where(land[0, panel_of[fsl], row_of[fsl],
-                              m_of[fsl]] == 0, -1,
-                         land[0, panel_of[fsl], row_of[fsl], m_of[fsl]])
-            # ensure the landing actually reads fill: claim layer 0 when
-            # free, else layer 1, else share an existing fill landing
-            for lay_try in (0, 1):
-                if lay_try >= nlayer:
+            # probe an m whose landing at (row) is free or fill-shared
+            pendf = np.arange(fsl.size)
+            for k in range(LANES):
+                if pendf.size == 0:
                     break
-                la = land[lay_try, panel_of[fsl], row_of[fsl], m_of[fsl]]
-                okf = (la == 0) | (la == -1)
-                land[lay_try, panel_of[fsl][okf], row_of[fsl][okf],
-                     m_of[fsl][okf]] = -1
-                pick[fsl[okf]] = lay_try
-                fsl = fsl[~okf]
-                if fsl.size == 0:
-                    break
-            if fsl.size:
+                mm = (clane[pendf] + k * 11) % LANES
+                la = land[0, panel_of[fsl[pendf]], rowg[pendf], mm]
+                ok = (la == 0) | (la == -1)
+                t = pendf[ok]
+                m_of[fsl[t]] = mm[ok]
+                land[0, panel_of[fsl[t]], rowg[t], mm[ok]] = -1
+                pendf = pendf[~ok]
+            if pendf.size:
                 raise ValueError("route: fill landing conflict")
+            final_used[panel_of[fsl], rowg, clane] = True
         else:
             pend = fills
             for k in range(4 * LANES):
@@ -383,7 +412,7 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
                 raise ValueError(
                     f"route: {pend.size} unplaceable fill slots")
 
-    lane_of = m_of if free_lane else dst_lane
+    lane_of = lane_fin_arr if free_lane else dst_lane
     idx1 = np.zeros((npanels, src_rows, LANES), dtype=np.int8)
     sel_a = np.zeros((npanels, PROWS, LANES), dtype=np.uint8)
     sel_b = np.zeros((npanels, PROWS, LANES), dtype=np.uint8)
@@ -396,11 +425,7 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
     sel_a[panel_of[ia], row_of[ia], m_of[ia]] = selv[ia]
     ib = ~ia
     sel_b[panel_of[ib], row_of[ib], m_of[ib]] = selv[ib]
-    if free_lane:
-        idx3 += np.arange(LANES, dtype=np.uint8)[None, None, :]
-    else:
-        idx3[panel_of, row_of, lane_of] = (m_of | (pick << 7)).astype(
-            np.uint8)
+    idx3[panel_of, row_of, lane_of] = (m_of | (pick << 7)).astype(np.uint8)
     plan = RoutePlan(idx1=idx1.reshape(-1, LANES),
                      sel_a=sel_a.reshape(-1, LANES),
                      sel_b=sel_b.reshape(-1, LANES),
@@ -446,10 +471,10 @@ class Spmv3Plan:
     pa_route: RoutePlan
     pa_bases: np.ndarray   # (pa_panels * pa_nwin,) int32 stripe-block index
     w_stream: Optional[np.ndarray]  # (exp_panels*PROWS, 128) or None
-    fix_rounds: int
+    fix_dst: np.ndarray    # (fix_chunks,) int32 compact-y row per chunk
     # v2 gather plans (windowed_gather) for the small stages
     xext: "object"         # x -> x_ext
-    fixg: "object"         # y_lane -> ystack (nblocks*8*fix_rounds rows)
+    fixg: "object"         # y_lane -> ystack (fix_chunks*8 rows)
     mexp: "object"         # y_compact -> dense
     dense_rows: int
 
@@ -520,9 +545,27 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
         r_in_col = np.arange(seg_c.size) - np.repeat(cstart, clen2)
         slot_start = cchg | (r_in_col % DUP_CAP == 0)
         ndist = np.cumsum(slot_start)
+        # stage-1 entry demand per slot: one entry plus hunting slack for
+        # heavy duplicate groups; rows are paced by demand so hot rows
+        # keep free entries (DCAP << 128)
+        dcount = np.minimum(clen2, DUP_CAP)
+        demand_slot = 1 + (np.repeat(dcount, clen2) // 16)
+        cdem = np.cumsum(np.where(slot_start, demand_slot, 0))
         m = hi - i
-        if ndist[-1] > XCAP:
+        if cdem[-1] > (XROWS - 1) * DCAP:
+            m = min(m, int(np.searchsorted(cdem, (XROWS - 1) * DCAP + 1)))
+        if ndist[min(m, ndist.size) - 1] > XCAP:
             m = min(m, int(np.searchsorted(ndist, XCAP + 1)))
+        # bound the x->x_ext gather's source span PER STEP: any 8-row
+        # group of x_ext slots (~768) may reference <= BBLK_STEP distinct
+        # 8-row x blocks (sparse tails close panels early)
+        xb = seg_c // (STRIPE * LANES)
+        bchg = np.concatenate([[True], xb[1:] != xb[:-1]])
+        nblk = np.cumsum(bchg)
+        allowed = BBLK_STEP * (1 + (ndist - 1) // (STRIPE * DCAP))
+        viol = np.flatnonzero(nblk[:m] > allowed[:m])
+        if viol.size:
+            m = min(m, max(1, int(viol[0])))
         # d0 quota: first index where any digit count exceeds 1024
         for d in range(NDIG):
             cnt = np.cumsum(seg_d[:m] == d)
@@ -530,23 +573,17 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
                 m = min(m, int(np.searchsorted(cnt, QUOTA + 1)))
         panel_of[i:i + m] = p
         u = seg_c[:m][slot_start[:m]]
-        # layout: the panel's top-31 heaviest slots get one dedicated
-        # slot per row (lane SLOT_W-1) so no row's stage-1 entries are
-        # starved by hub hunting; the rest stay column-sorted row-major
-        # (monotone sources keep the x->x_ext gather window-local)
+        # layout: column-sorted slots paced into rows by entry demand —
+        # monotone sources for the x->x_ext gather AND no starved rows
         sid = np.cumsum(slot_start[:m]) - 1
-        scount = np.bincount(sid, minlength=u.size)
-        nhub = min(XROWS - 1, u.size)
-        hub_ids = np.sort(np.argsort(-scount, kind="stable")[:nhub])
-        is_hub = np.zeros(u.size, dtype=bool)
-        is_hub[hub_ids] = True
-        rows_ = np.empty(u.size, dtype=np.int64)
-        lanes_ = np.empty(u.size, dtype=np.int64)
-        rows_[hub_ids] = np.arange(nhub)
-        lanes_[hub_ids] = SLOT_W - 1
-        rest = np.flatnonzero(~is_hub)
-        rows_[rest] = np.arange(rest.size) // (SLOT_W - 1)
-        lanes_[rest] = np.arange(rest.size) % (SLOT_W - 1)
+        sdem = np.where(slot_start[:m], demand_slot[:m], 0)
+        slot_dem = sdem[slot_start[:m]]
+        dem_excl = np.cumsum(slot_dem) - slot_dem
+        rows_ = dem_excl // DCAP
+        k_ = _concat_ranges(np.bincount(rows_, minlength=XROWS - 1))
+        lanes_ = k_
+        assert rows_.max(initial=0) < XROWS - 1 and \
+            lanes_.max(initial=0) < SLOT_W
         x_lists.append((u, rows_, lanes_))
         xe_pos[i:i + m] = (p * XROWS * LANES + rows_[sid] * LANES
                            + lanes_[sid])
@@ -742,10 +779,11 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
         fill_from=(NWIN - 1) * STRIPE)
 
     # ---- fixup: y_lane rows (pa_panels*8, one per (panel, d1)) carry
-    # per-lane (block, lr) targets; gather into an lr-aligned stack of
-    # <=8*rounds rows per block, then colsum-fold
+    # per-lane (block, lr) targets; gather pieces REGION-major (a chunk's
+    # sources are its region's panel rows — window-local even when small
+    # supers replicate a block across codes), lane = lr, then a chunked
+    # column-⊕ folds each 8-row chunk into its block's compact y row.
     ylane_rows = pa_panels * STRIPE
-    # per (panel, d1, lane): target (block, lr) — from any element there
     tgt_block = np.full((pa_panels, NDIG, LANES), -1, dtype=np.int64)
     tgt_lr = np.zeros((pa_panels, NDIG, LANES), dtype=np.int64)
     tgt_block[e_pan, e_d1, pa_lane] = blk[order]
@@ -753,24 +791,44 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     tb = tgt_block.reshape(-1)
     tl = tgt_lr.reshape(-1)
     occ = np.flatnonzero(tb >= 0)
-    # stack pieces per (block, lr): round-robin rows 0..(K-1)
-    o6 = np.lexsort((occ, tl[occ], tb[occ]))
+    pan_reg = np.array([m_[0] * NDIG + m_[1] for m_ in pan_meta],
+                       dtype=np.int64) if pan_meta else np.zeros(1, np.int64)
+    pc_panel = occ // (NDIG * LANES)
+    pc_d1 = (occ // LANES) % NDIG
+    pc_reg = pan_reg[pc_panel]
+    o6 = np.lexsort((pc_panel, tl[occ], pc_d1, pc_reg))
     oc = occ[o6]
-    kk = (tb[oc] * LANES + tl[oc])
-    kchg = np.concatenate([[True], kk[1:] != kk[:-1]])
-    st6 = np.flatnonzero(kchg)
-    ln6 = np.diff(np.concatenate([st6, [oc.size]]))
-    piece = np.arange(oc.size) - np.repeat(st6, ln6)
-    rounds = int(-(-(int(piece.max()) + 1) // STRIPE)) if oc.size else 1
-    stack_rows = nblocks * STRIPE * rounds
-    src_of_fix = np.full(stack_rows * LANES, -1, dtype=np.int64)
-    rdx = piece // STRIPE
-    dst = ((rdx * nblocks + tb[oc]) * STRIPE + piece % STRIPE) * LANES + tl[oc]
-    # y_lane linear slot of each piece: row = panel*8+d1, lane
-    src_lin = oc  # (panel*NDIG + d1)*LANES + lane == y_lane slot ✓
-    src_of_fix[dst] = src_lin
+    rd_key = pc_reg[o6] * NDIG + pc_d1[o6]
+    lr_key = rd_key * LANES + tl[oc]
+    lchg = np.concatenate([[True], lr_key[1:] != lr_key[:-1]])
+    st7 = np.flatnonzero(lchg)
+    t_lr = np.arange(oc.size) - np.repeat(
+        st7, np.diff(np.concatenate([st7, [oc.size]])))
+    # chunks per (region, d1): ceil(max piece depth / 8)
+    depth = t_lr // STRIPE
+    nch_rd = np.zeros((pa_panels * NDIG if pa_panels else 1,), np.int64)
+    rd_ids = np.unique(rd_key)
+    nch_map = {}
+    ch_base = 0
+    chunk_dst_list = []
+    for rd in rd_ids.tolist():
+        msk = rd_key == rd
+        d_ = int(depth[msk].max()) + 1
+        nch_map[rd] = (ch_base, d_)
+        bb = int(tb[oc[msk][0]])
+        chunk_dst_list.extend([bb] * d_)
+        ch_base += d_
+    nchunks = max(1, ch_base)
+    chunk_id = np.array([nch_map[int(rd)][0] for rd in rd_key],
+                        dtype=np.int64) + depth
+    dst = (chunk_id * STRIPE + t_lr % STRIPE) * LANES + tl[oc]
+    src_of_fix = np.full(nchunks * STRIPE * LANES, -1, dtype=np.int64)
+    src_of_fix[dst] = oc // (NDIG * LANES) * (STRIPE * LANES) + \
+        (oc // LANES % NDIG) * LANES + oc % LANES
     ylr = -(-ylane_rows // STRIPE) * STRIPE
-    fixg = build_gather_plan(ylr, stack_rows, src_of_fix)
+    fixg = build_gather_plan(ylr, nchunks * STRIPE, src_of_fix)
+    fix_dst = np.array(chunk_dst_list, dtype=np.int32) if chunk_dst_list \
+        else np.zeros(1, np.int32)
 
     # ---- mexp: compact y -> dense rows (v2 gather)
     dense_rows = -(-(-(-dense_len // LANES)) // STRIPE) * STRIPE
@@ -787,7 +845,7 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
         NC=NC, NR=NR, nblocks=nblocks, n_edges=E,
         xext_rows=xext_rows, exp_panels=exp_panels, pa_panels=pa_panels,
         pa_nwin=NWIN, exp_route=exp_route, pa_route=pa_route,
-        pa_bases=pa_bases, w_stream=w_stream, fix_rounds=rounds,
+        pa_bases=pa_bases, w_stream=w_stream, fix_dst=fix_dst,
         xext=xext_plan, fixg=fixg, mexp=mexp_plan, dense_rows=dense_rows)
 
 
@@ -821,6 +879,13 @@ def simulate_spmv3(plan: Spmv3Plan, x: np.ndarray, fill, reduce_kind="sum",
     ylp = np.full((ylr, LANES), fill, y_lane.dtype)
     ylp[:y_lane.shape[0]] = y_lane
     ystack = simulate_gather(plan.fixg, ylp, fill)
-    ystack = ystack.reshape(plan.fix_rounds, plan.nblocks, STRIPE, LANES)
-    y = red.reduce(red.reduce(ystack, axis=2), axis=0)
+    ystack = ystack.reshape(-1, STRIPE, LANES)
+    part = red.reduce(ystack, axis=1)               # (fix_chunks, 128)
+    y = np.full((plan.nblocks, LANES), fill, part.dtype)
+    if reduce_kind == "sum":
+        np.add.at(y, plan.fix_dst, part)
+    elif reduce_kind == "min":
+        np.minimum.at(y, plan.fix_dst, part)
+    else:
+        np.maximum.at(y, plan.fix_dst, part)
     return y.reshape(-1)

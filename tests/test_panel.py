@@ -76,8 +76,6 @@ def _dense_y(r, c, w, x, nr, kind):
     return y
 
 
-@pytest.mark.xfail(reason="WIP: depends on the route assignment",
-                   strict=False)
 @pytest.mark.parametrize("kind,weighted", [("sum", False), ("sum", True),
                                            ("min", True)])
 def test_spmv3_vs_dense(kind, weighted):
@@ -106,3 +104,66 @@ def test_spmv3_vs_dense(kind, weighted):
         np.testing.assert_allclose(y[:NR], expect, rtol=1e-4)
     else:
         np.testing.assert_array_equal(y[:NR], expect)
+
+
+@pytest.mark.parametrize("kind", ["sum", "min"])
+def test_panel_kernels_match_simulator(kind):
+    """The three Pallas kernels (interpret mode) against the planner's
+    numpy simulator, end to end."""
+    import jax.numpy as jnp
+    from graphtap_tpu.kernels.panel_plan import (simulate_spmv3, STRIPE,
+                                                 XROWS)
+    from graphtap_tpu.kernels.panel_kernels import (route_expand,
+                                                    route_passa,
+                                                    fold_stripes,
+                                                    colsum_chunks)
+    from graphtap_tpu.kernels.gather_plan import simulate_gather
+    rng = np.random.default_rng(7)
+    NR, NC, E = 1024, 2048, 30000
+    r = rng.integers(0, NR, size=E).astype(np.int64)
+    c = rng.integers(0, NC, size=E).astype(np.int64)
+    w = rng.integers(1, 50, size=E).astype(np.int32) if kind == "min" \
+        else None
+    dtype = np.float32 if kind == "sum" else np.int32
+    fill = np.float32(0) if kind == "sum" else np.int32(sr.INF_I32)
+    mk = "none" if kind == "sum" else "add_sat"
+    plan = build_spmv3_plan(r, c, w, NR, NC, dense_len=NR, iv_dense=None,
+                            value_dtype=dtype)
+    if kind == "sum":
+        x = rng.random(NC).astype(np.float32)
+    else:
+        x = rng.integers(0, 500, size=NC).astype(np.int32)
+    # simulator reference
+    y_ref = simulate_spmv3(plan, x, fill, reduce_kind=kind, mul_kind=mk)
+
+    # kernel pipeline (interpret)
+    sx = plan.xext.src_rows
+    x2d = np.full((sx, LANES), fill, dtype)
+    x2d.reshape(-1)[:NC] = x
+    x_ext = simulate_gather(plan.xext, x2d, fill)   # (v2 gather, tested)
+    w_stream = (jnp.asarray(plan.w_stream) if plan.w_stream is not None
+                else None)
+    s0 = route_expand(jnp.asarray(x_ext), jnp.asarray(plan.exp_route.idx1),
+                      jnp.asarray(plan.exp_route.sel_a),
+                      jnp.asarray(plan.exp_route.sel_b),
+                      jnp.asarray(plan.exp_route.idx3),
+                      w_stream, fill, plan.exp_panels, mul_kind=mk,
+                      interpret=True)
+    s0p = jnp.concatenate(
+        [s0, jnp.full((STRIPE, LANES), fill, s0.dtype)], axis=0)
+    s1 = route_passa(s0p, jnp.asarray(plan.pa_bases),
+                     jnp.asarray(plan.pa_route.idx1),
+                     jnp.asarray(plan.pa_route.sel_a),
+                     jnp.asarray(plan.pa_route.sel_b),
+                     jnp.asarray(plan.pa_route.idx3),
+                     fill, plan.pa_panels, plan.pa_nwin, interpret=True)
+    ylane = fold_stripes(s1, kind, plan.pa_panels, interpret=True)
+    ylr = -(-int(ylane.shape[0]) // STRIPE) * STRIPE
+    ylp = jnp.concatenate(
+        [ylane, jnp.full((ylr - ylane.shape[0], LANES), fill,
+                         ylane.dtype)], axis=0)
+    ystack = simulate_gather(plan.fixg, np.asarray(ylp), fill)
+    y = colsum_chunks(jnp.asarray(ystack), jnp.asarray(plan.fix_dst),
+                      plan.nblocks, kind, fill, interpret=True)
+    np.testing.assert_allclose(np.asarray(y).reshape(-1), y_ref,
+                               rtol=1e-5)
