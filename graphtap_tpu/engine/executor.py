@@ -109,6 +109,13 @@ class Executor:
                     self.tiles, value_dtype=np.dtype(self.program.value_dtype))
             self._phase_shuffle_meta["main"] = self._shuffle_meta
             self._shuffle_dev = self._shuffle_meta.device_arrays(self.mesh)
+        elif self.kernel == "panel":
+            from graphtap_tpu.kernels.panel_engine import build_spmv3_meta
+            self._shuffle_meta = shuffle_plans if shuffle_plans is not None \
+                else build_spmv3_meta(
+                    self.tiles, value_dtype=np.dtype(self.program.value_dtype))
+            self._phase_shuffle_meta["main"] = self._shuffle_meta
+            self._shuffle_dev = self._shuffle_meta.device_arrays(self.mesh)
 
     # ------------------------------------------------------------------ util
     def _put(self, arr: np.ndarray):
@@ -139,7 +146,7 @@ class Executor:
         vertex_program.hpp:1017-1573)."""
         sem, part = self.program.semiring, self.part
         L, Cc = part.L, part.C
-        if self.kernel in ("shuffle", "shuffle2"):
+        if self.kernel in ("shuffle", "shuffle2", "panel"):
             meta = self._phase_shuffle_meta[phase]
             plan_local = {k: tile[k][0] for k in meta.arrays}
             interp = self.mesh.devices.flat[0].platform != "tpu"
@@ -147,6 +154,10 @@ class Executor:
                 from graphtap_tpu.kernels.shuffle_engine import spmv_local
                 y_dense = spmv_local(x, plan_local, meta, sem,
                                      dense_len=Cc * L, interpret=interp)
+            elif self.kernel == "panel":
+                from graphtap_tpu.kernels.panel_engine import spmv3_local
+                y_dense = spmv3_local(x, plan_local, meta, sem,
+                                      dense_len=Cc * L, interpret=interp)
             else:
                 from graphtap_tpu.kernels.gather_engine import spmv2_local
                 y_dense = spmv2_local(x, plan_local, meta, sem,
@@ -343,7 +354,7 @@ class Executor:
     # ---------------------------------------------------------------- loops
     @functools.cached_property
     def _tile_pytree(self):
-        if self.kernel in ("shuffle", "shuffle2"):
+        if self.kernel in ("shuffle", "shuffle2", "panel"):
             t = dict(self._shuffle_dev)
             t["vids"] = self._vids
             t["i_own"] = self._dev_tiles["i_own"]
@@ -397,6 +408,13 @@ class Executor:
                 from graphtap_tpu.kernels.gather_engine import \
                     build_spmv2_meta
                 meta = build_spmv2_meta(
+                    ts, value_dtype=np.dtype(self.program.value_dtype))
+                self._phase_shuffle_meta[ph] = meta
+                t = dict(meta.device_arrays(self.mesh))
+            elif self.kernel == "panel":
+                from graphtap_tpu.kernels.panel_engine import \
+                    build_spmv3_meta
+                meta = build_spmv3_meta(
                     ts, value_dtype=np.dtype(self.program.value_dtype))
                 self._phase_shuffle_meta[ph] = meta
                 t = dict(meta.device_arrays(self.mesh))

@@ -1,0 +1,210 @@
+"""Device-stacked v3 panel-pipeline plans and the shard_map-local SpMV.
+
+Bridges the v3 planner (panel_plan.py) and kernels (panel_kernels.py)
+into the engine, mirroring gather_engine.py: one Spmv3Plan per device,
+shapes normalized across the mesh (idle pad panels fold into a scratch
+y row), arrays stacked with a leading device axis.
+
+Pipeline per device:
+  x → v2-gather x_ext → route_expand (⊗w) → route_passa (corner turn)
+  → fold_stripes (pass B) → v2-gather piece stack → colsum_chunks
+  → compact y → v2-gather mexp → dense y row block.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from graphtap_tpu.format.tiles import TileSet
+from graphtap_tpu.kernels.semiring import Semiring
+from graphtap_tpu.kernels.panel_plan import (Spmv3Plan, build_spmv3_plan,
+                                             RoutePlan, LANES, PROWS,
+                                             STRIPE, XROWS)
+from graphtap_tpu.kernels.panel_kernels import (route_expand, route_passa,
+                                                colsum_chunks)
+from graphtap_tpu.kernels.gather_engine import _pad_gather_plan
+from graphtap_tpu.kernels.gather_kernels import windowed_gather
+
+
+@dataclass
+class Spmv3Meta:
+    """Static meta + device-stacked plan arrays (dict of (D, ...) numpy)."""
+    NC: int
+    nblocks: int            # compact y rows + 8 scratch (idle pad target)
+    dense_rows: int
+    exp_panels: int
+    pa_panels: int
+    pa_nwin: int
+    fix_chunks: int
+    fix2_chunks: int
+    nrb: int                # y_mid rows (padded to 8, + 8 scratch)
+    xext_rows: int
+    has_w: bool
+    nsub: Dict[str, int]    # v2-gather stages: xext, fixg, mexp
+    out_rows: Dict[str, int]
+    src_rows: Dict[str, int]
+    arrays: Dict[str, np.ndarray]
+
+    def device_arrays(self, mesh):
+        from graphtap_tpu.parallel.multihost import put_device_stacked
+        return {k: put_device_stacked(a, mesh)
+                for k, a in self.arrays.items()}
+
+
+def _pad_route(rt: RoutePlan, npanels: int, tgt: int) -> RoutePlan:
+    """Pad a route plan with idle panels (streams zero: every slot reads
+    source (0, 0) via layer a — a defined value; the pad panels' folds
+    land in the scratch y row)."""
+    if npanels == tgt:
+        return rt
+    ap = tgt - npanels
+    return RoutePlan(
+        idx1=np.concatenate(
+            [rt.idx1, np.zeros((ap * rt.src_rows, LANES), np.int8)]),
+        sel_a=np.concatenate(
+            [rt.sel_a, np.zeros((ap * PROWS, LANES), np.uint8)]),
+        sel_b=np.concatenate(
+            [rt.sel_b, np.zeros((ap * PROWS, LANES), np.uint8)]),
+        idx3=np.concatenate(
+            [rt.idx3, np.zeros((ap * PROWS, LANES), np.uint8)]),
+        src_rows=rt.src_rows)
+
+
+def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
+    from graphtap_tpu.parallel import multihost as mh
+    part = tiles.part
+    D = part.D
+    NC = part.tile_cols
+    dense_len = part.tile_rows
+
+    plans: List[Spmv3Plan] = []
+    for b in range(D):
+        n = int(tiles.nnz[b, 0])
+        r = tiles.rows[b, :n].astype(np.int64)
+        c = tiles.cols[b, :n].astype(np.int64)
+        w = tiles.weights[b, :n] if tiles.weights is not None else None
+        iv = tiles.iv_dense[b] if tiles.ir is not None else None
+        plans.append(build_spmv3_plan(r, c, w, tiles.NR, NC, dense_len, iv,
+                                      value_dtype=value_dtype))
+
+    p0 = plans[0]
+    nwin = p0.pa_nwin
+    exp_panels = int(mh.global_max(max(p.exp_panels for p in plans)))
+    pa_panels = int(mh.global_max(max(p.pa_panels for p in plans)))
+    fix_chunks = int(mh.global_max(max(p.fix_dst.size for p in plans)))
+    fix2_chunks = int(mh.global_max(max(p.fix2_dst.size for p in plans)))
+    nrb = int(mh.global_max(max(
+        (int(p.fix_dst.max()) + 1 if p.fix_dst.size else 1)
+        for p in plans)))
+    nrb = -(-nrb // STRIPE) * STRIPE + STRIPE     # + scratch row block
+    nblocks = int(mh.global_max(max(p.nblocks for p in plans))) + STRIPE
+    dense_rows = int(mh.global_max(max(p.dense_rows for p in plans)))
+    xext_rows = exp_panels * XROWS
+    has_w = tiles.weights is not None
+
+    # v2 sub-gather dims
+    nsub = {}
+    out_rows = {}
+    src_rows = {}
+    sx = -(-(-(-NC // LANES)) // STRIPE) * STRIPE
+    for k, sr_, orows in (("xext", sx, xext_rows),
+                          ("fixg", pa_panels * PROWS, fix_chunks * STRIPE),
+                          ("fix2g", nrb, fix2_chunks * STRIPE),
+                          ("mexp", nblocks, dense_rows)):
+        gs = [getattr(p, k) for p in plans]
+        nsub[k] = int(mh.global_max(max(g.nsub for g in gs)))
+        out_rows[k] = orows
+        src_rows[k] = sr_
+
+    arrs: Dict[str, List[np.ndarray]] = {}
+    for b, p in enumerate(plans):
+        for k in ("xext", "fixg", "fix2g", "mexp"):
+            g = getattr(p, k)
+            gp = _pad_gather_plan(g, out_rows[k] // STRIPE, nsub[k],
+                                  src_rows[k])
+            arrs.setdefault(f"{k}_wsel", []).append(gp.wsel)
+            arrs.setdefault(f"{k}_nact", []).append(gp.nact)
+            arrs.setdefault(f"{k}_cidx", []).append(gp.cidx)
+            arrs.setdefault(f"{k}_meta", []).append(gp.meta)
+        er = _pad_route(p.exp_route, p.exp_panels, exp_panels)
+        pr = _pad_route(p.pa_route, p.pa_panels, pa_panels)
+        for nm, rt in (("exp", er), ("pa", pr)):
+            arrs.setdefault(f"{nm}_idx1", []).append(rt.idx1)
+            arrs.setdefault(f"{nm}_sela", []).append(rt.sel_a)
+            arrs.setdefault(f"{nm}_selb", []).append(rt.sel_b)
+            arrs.setdefault(f"{nm}_idx3", []).append(rt.idx3)
+        bases = np.full(pa_panels * nwin, exp_panels * 8, np.int32)
+        bases[:p.pa_bases.size] = p.pa_bases
+        arrs.setdefault("pa_bases", []).append(bases)
+        # pad chunks fold into the scratch row blocks
+        fd = np.full(fix_chunks, nrb - STRIPE, np.int32)
+        fd[:p.fix_dst.size] = p.fix_dst
+        arrs.setdefault("fix_dst", []).append(fd)
+        fd2 = np.full(fix2_chunks, nblocks - STRIPE, np.int32)
+        fd2[:p.fix2_dst.size] = p.fix2_dst
+        arrs.setdefault("fix2_dst", []).append(fd2)
+        if has_w:
+            ws = np.zeros((exp_panels * PROWS, LANES), dtype=value_dtype)
+            if p.w_stream is not None:
+                ws[:p.w_stream.shape[0]] = p.w_stream
+            arrs.setdefault("w_stream", []).append(ws)
+
+    arrays = {k: np.stack(v) for k, v in arrs.items()}
+    return Spmv3Meta(NC=NC, nblocks=nblocks, dense_rows=dense_rows,
+                     exp_panels=exp_panels, pa_panels=pa_panels,
+                     pa_nwin=nwin, fix_chunks=fix_chunks,
+                     fix2_chunks=fix2_chunks, nrb=nrb,
+                     xext_rows=xext_rows, has_w=has_w, nsub=nsub,
+                     out_rows=out_rows, src_rows=src_rows, arrays=arrays)
+
+
+def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
+                dense_len: int, interpret: bool = False):
+    """Per-device v3 SpMV inside shard_map: x (NC,) → y_dense."""
+    fill = np.dtype(x.dtype).type(semiring.identity)
+    if semiring.reduce_kind == "sum":
+        mul_kind = "mul" if meta.has_w else "none"
+    else:
+        mul_kind = "add_sat" if meta.has_w else "none"
+    sx = meta.src_rows["xext"]
+    xp = x if sx * LANES == x.shape[0] else jnp.concatenate(
+        [x, jnp.full((sx * LANES - x.shape[0],), fill, x.dtype)])
+    x2d = xp.reshape(sx, LANES)
+
+    x_ext = windowed_gather(
+        x2d, t["xext_wsel"], t["xext_nact"], t["xext_cidx"],
+        t["xext_meta"], None, fill, meta.out_rows["xext"],
+        meta.nsub["xext"], mul_kind="none", interpret=interpret)
+    s0 = route_expand(
+        x_ext, t["exp_idx1"], t["exp_sela"], t["exp_selb"], t["exp_idx3"],
+        t.get("w_stream"), fill, meta.exp_panels, mul_kind=mul_kind,
+        interpret=interpret)
+    s0p = jnp.concatenate(
+        [s0, jnp.full((STRIPE, LANES), fill, s0.dtype)], axis=0)
+    s1 = route_passa(
+        s0p, t["pa_bases"], t["pa_idx1"], t["pa_sela"], t["pa_selb"],
+        t["pa_idx3"], fill, meta.pa_panels, meta.pa_nwin,
+        interpret=interpret)
+    stack1 = windowed_gather(
+        s1, t["fixg_wsel"], t["fixg_nact"], t["fixg_cidx"],
+        t["fixg_meta"], None, fill, meta.out_rows["fixg"],
+        meta.nsub["fixg"], mul_kind="none", interpret=interpret)
+    y_mid = colsum_chunks(stack1, t["fix_dst"], meta.nrb,
+                          semiring.reduce_kind, fill, interpret=interpret)
+    stack2 = windowed_gather(
+        y_mid, t["fix2g_wsel"], t["fix2g_nact"], t["fix2g_cidx"],
+        t["fix2g_meta"], None, fill, meta.out_rows["fix2g"],
+        meta.nsub["fix2g"], mul_kind="none", interpret=interpret)
+    y = colsum_chunks(stack2, t["fix2_dst"], meta.nblocks,
+                      semiring.reduce_kind, fill, interpret=interpret)
+    y_dense = windowed_gather(
+        y, t["mexp_wsel"], t["mexp_nact"], t["mexp_cidx"], t["mexp_meta"],
+        None, fill, meta.out_rows["mexp"], meta.nsub["mexp"],
+        mul_kind="none", interpret=interpret)
+    return y_dense.reshape(-1)[:dense_len]

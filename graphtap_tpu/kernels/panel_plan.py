@@ -48,7 +48,8 @@ PROWS = 64                 # panel rows
 PSLOTS = PROWS * LANES     # 8192
 STRIPE = 8                 # rows per digit stripe
 NDIG = 8                   # radix: 3 bits per pass
-CODE_BITS = 6              # block code bits per super: 2 passes of 3
+CODE_BITS = 6              # code bits per super: 2 radix-8 passes
+SUPER_EDGES = 384 * 1024   # adaptive super target edge mass
 NSUP_BLOCKS = 1 << CODE_BITS   # 64 blocks (8192 compact rows) per super
 XROWS = 32                 # x_ext panel rows (4096 column slots)
 SLOT_W = 112               # x_ext slots per row (16 spare lanes per row
@@ -471,10 +472,12 @@ class Spmv3Plan:
     pa_route: RoutePlan
     pa_bases: np.ndarray   # (pa_panels * pa_nwin,) int32 stripe-block index
     w_stream: Optional[np.ndarray]  # (exp_panels*PROWS, 128) or None
-    fix_dst: np.ndarray    # (fix_chunks,) int32 compact-y row per chunk
+    fix_dst: np.ndarray    # (fix_chunks,) int32 y_mid row per chunk
+    fix2_dst: np.ndarray   # (fix2_chunks,) int32 compact-y row per chunk
     # v2 gather plans (windowed_gather) for the small stages
     xext: "object"         # x -> x_ext
-    fixg: "object"         # y_lane -> ystack (fix_chunks*8 rows)
+    fixg: "object"         # s1 -> stack1 (fix_chunks*8 rows)
+    fix2g: "object"        # y_mid -> stack2 (fix2_chunks*8 rows)
     mexp: "object"         # y_compact -> dense
     dense_rows: int
 
@@ -497,31 +500,50 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     nblocks = -(-max(1, -(-NR // LANES)) // STRIPE) * STRIPE
 
     blk = rows // LANES
-    sup = blk >> CODE_BITS
+    # adaptive supers: contiguous block ranges holding >= SUPER_EDGES
+    # edges each (a fixed 64-block super makes tail supers column-sparse
+    # and shreds the x_ext packing); codes = 64 size-balanced block
+    # GROUPS per super — the fold's lane purity is per (block, lr), so a
+    # code may span many blocks
+    nblk_tot = int(blk.max()) + 1 if E else 1
+    blk_sizes = np.bincount(blk, minlength=nblk_tot)
+    csum = np.cumsum(blk_sizes)
+    cuts = [0]
+    tgt = SUPER_EDGES
+    while tgt < (csum[-1] if E else 0):
+        cuts.append(int(np.searchsorted(csum, tgt)) + 1)
+        tgt += SUPER_EDGES
+    cut_arr = np.unique(np.asarray(cuts + [nblk_tot], dtype=np.int64))
+    sup_of_blk = np.searchsorted(cut_arr, np.arange(nblk_tot),
+                                 side="right") - 1
+    sup = sup_of_blk[blk]
     nsup = int(sup.max()) + 1 if E else 1
-    bis = blk & (NSUP_BLOCKS - 1)
-    # balanced codes: size-ranked blocks dealt diagonally over (d0, d1)
-    # so both pass quotas see balanced mass; small supers replicate each
-    # block over several codes (the fixup ⊕-merges the pieces) so no
-    # stripe goes structurally empty
-    sizes = np.bincount(sup * NSUP_BLOCKS + bis,
-                        minlength=nsup * NSUP_BLOCKS
-                        ).reshape(nsup, NSUP_BLOCKS) if E else \
-        np.zeros((1, NSUP_BLOCKS), np.int64)
-    rank = np.argsort(np.argsort(-sizes, axis=1, kind="stable"),
-                      axis=1, kind="stable")
-    bp = np.maximum((sizes > 0).sum(axis=1), 1)          # blocks per super
-    nb2 = 1 << np.ceil(np.log2(bp)).astype(np.int64)
-    reps = np.maximum(1, NSUP_BLOCKS // nb2)
+
+    # split-LPT: blocks of a super dealt into 64 code bins by size; a
+    # block bigger than ~1/64 of the super splits across several bins
+    # (the fold's lane purity is per (block, lr), so bins mix freely)
+    binstab = np.zeros((nblk_tot, NSUP_BLOCKS), dtype=np.int64)
+    for s_ in range(nsup):
+        bb = np.flatnonzero(sup_of_blk == s_)
+        if bb.size == 0:
+            continue
+        tot = int(blk_sizes[bb].sum())
+        target = max(1, tot // NSUP_BLOCKS)
+        o_ = bb[np.argsort(-blk_sizes[bb], kind="stable")]
+        loads = np.zeros(NSUP_BLOCKS, dtype=np.int64)
+        for b_ in o_.tolist():
+            sz = int(blk_sizes[b_])
+            nsplit = int(min(NSUP_BLOCKS, max(1, -(-sz // target))))
+            bins_b = np.argsort(loads, kind="stable")[:nsplit]
+            loads[bins_b] += sz // nsplit
+            binstab[b_] = bins_b[np.arange(NSUP_BLOCKS) % nsplit]
 
     order = np.lexsort((cols, sup)) if E else np.zeros(0, np.int64)
     order = np.lexsort((cols, sup)) if E else np.zeros(0, np.int64)
     e_sup = sup[order]
     e_col = cols[order]
     e_row = rows[order]
-    e_rank = rank[e_sup, bis[order]]
-    e_reps = reps[e_sup]
-    idx = e_rank * e_reps + (e_col % e_reps)
+    idx = binstab[blk[order], cols[order] % NSUP_BLOCKS]
     e_d0 = idx % NDIG
     e_d1 = (idx // NDIG + idx) % NDIG
     e_code = e_d0 | (e_d1 << 3)
@@ -656,9 +678,13 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     d1o = e_d1[ro]
     so = strip_ord[ro]
     run_key = rk * NDIG + d1o
-    rchg = np.concatenate([[True], run_key[1:] != run_key[:-1]])
-    rst = np.flatnonzero(rchg)
-    rln = np.diff(np.concatenate([rst, [E]]))
+    if E:
+        rchg = np.concatenate([[True], run_key[1:] != run_key[:-1]])
+        rst = np.flatnonzero(rchg)
+        rln = np.diff(np.concatenate([rst, [E]]))
+    else:
+        rst = np.zeros(0, np.int64)
+        rln = rst
     run_of = {}
     for a, b_ in zip(rst, rst + rln):
         run_of[int(run_key[a])] = (int(a), int(b_))
@@ -693,21 +719,6 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
                         so[p0:b_], lo + NWIN - 1, "left"))
                     hi = min(hi, p0 + QUOTA)
                     if hi > p0:
-                        # lane-purity capacity: a stripe has 128 lanes and
-                        # a lane holds 8 rows of ONE (block, lr) — cap the
-                        # take at 120 lane-bins (slack for the route)
-                        lrs = e_row[ro[p0:hi]] % LANES
-                        o_ = np.argsort(lrs, kind="stable")
-                        ls = lrs[o_]
-                        newl = np.concatenate([[True], ls[1:] != ls[:-1]])
-                        st_ = np.flatnonzero(newl)
-                        rnk = np.arange(ls.size) - np.repeat(
-                            st_, np.diff(np.concatenate([st_, [ls.size]])))
-                        binflag = np.zeros(ls.size, dtype=np.int64)
-                        binflag[o_] = (rnk % STRIPE == 0)
-                        cumbins = np.cumsum(binflag)
-                        hi = p0 + int(np.searchsorted(cumbins, 121, "left"))
-                    if hi > p0:
                         idx = ro[p0:hi]
                         e_pan[idx] = pa_panels
                         ptr[d1] = hi
@@ -722,6 +733,11 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
             pa_panels += 1
             j += 1
     assert (e_pan >= 0).all() if E else True
+    if pa_panels == 0:
+        pan_bases.append(np.full(NWIN, fill_block, np.int64))
+        pan_meta.append((0, 0, 0))
+        pan_lo_all.append(0)
+        pa_panels = 1
     pa_bases = (np.stack(pan_bases).astype(np.int32).reshape(-1)
                 if pan_bases else np.zeros(NWIN, np.int32))
 
@@ -733,28 +749,22 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     pa_src_row = e_win * STRIPE + e_erow % STRIPE
     pa_src_lane = e_elane
 
-    # lane packing per (out panel, d1): lr-sorted rank; a lane never
-    # mixes lr values, so the fixup map is one (block, lr) per lane
+    # lane packing per (out panel, d1): (block,lr)-sorted vertical
+    # stacking — the fixup regroups by destination, so stripes fill
+    # completely regardless of in-degree
     lr_e = e_row % LANES
+    blr_e = e_row           # (block, lr) identity = the compact row
     k5 = e_pan * NDIG + e_d1
-    o5 = np.lexsort((pos_in_stripe, strip_ord, lr_e, k5))
+    o5 = np.lexsort((pos_in_stripe, strip_ord, blr_e, k5))
     k5s = k5[o5]
-    lr5 = lr_e[o5]
-    newlane = np.concatenate([[True], (k5s[1:] != k5s[:-1]) |
-                              (lr5[1:] != lr5[:-1])])
-    st5 = np.flatnonzero(newlane)
-    ln5 = np.diff(np.concatenate([st5, [E]]))
-    rnk = np.arange(E) - np.repeat(st5, ln5)
-    lane_bump = newlane | (rnk % STRIPE == 0)
     pd_chg = np.concatenate([[True], k5s[1:] != k5s[:-1]])
-    bump_cum = np.cumsum(lane_bump)
-    lane_sorted = bump_cum - np.repeat(
-        bump_cum[np.flatnonzero(pd_chg)],
-        np.diff(np.concatenate([np.flatnonzero(pd_chg), [E]])))
+    st5 = np.flatnonzero(pd_chg)
+    rnk = np.arange(E) - np.repeat(
+        st5, np.diff(np.concatenate([st5, [E]])))
     pa_lane = np.empty(E, dtype=np.int64)
-    pa_lane[o5] = lane_sorted
+    pa_lane[o5] = rnk // STRIPE
     if E and int(pa_lane.max()) >= LANES:
-        raise ValueError("pass-A lane overflow (lr packing)")
+        raise ValueError("pass-A lane overflow")
 
     # phantoms: fill each (panel, d1) stripe's remaining lane capacity
     cnt_lane = np.bincount((e_pan * NDIG + e_d1) * LANES + pa_lane,
@@ -774,61 +784,132 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     a_st = np.concatenate([e_d1, ph_d1])
     a_dl = np.concatenate([pa_lane, ph_lane2])
     a_p = np.concatenate([e_pan, ph_p2])
-    pa_route, _parows, _palanes = _route_panels(
+    pa_route, _parows_all, _palanes = _route_panels(
         a_sr, a_sc, a_st, a_dl, a_p, pa_panels, NWIN * STRIPE,
         fill_from=(NWIN - 1) * STRIPE)
+    _parows = _parows_all[:E]
 
-    # ---- fixup: y_lane rows (pa_panels*8, one per (panel, d1)) carry
-    # per-lane (block, lr) targets; gather pieces REGION-major (a chunk's
-    # sources are its region's panel rows — window-local even when small
-    # supers replicate a block across codes), lane = lr, then a chunked
-    # column-⊕ folds each 8-row chunk into its block's compact y row.
-    ylane_rows = pa_panels * STRIPE
-    tgt_block = np.full((pa_panels, NDIG, LANES), -1, dtype=np.int64)
-    tgt_lr = np.zeros((pa_panels, NDIG, LANES), dtype=np.int64)
-    tgt_block[e_pan, e_d1, pa_lane] = blk[order]
-    tgt_lr[e_pan, e_d1, pa_lane] = lr_e
-    tb = tgt_block.reshape(-1)
-    tl = tgt_lr.reshape(-1)
-    occ = np.flatnonzero(tb >= 0)
+    # ---- fixup: gather every edge's routed slot from s1 into per-
+    # (region, block) chunk groups — lane-columns are (block, lr)-pure
+    # with depth stacking, so a column-⊕ folds them — then a second tiny
+    # gather+fold maps lane-columns to lr positions. (Low in-degree rows
+    # make an in-pass fold worthless, so pass A's output IS the fold
+    # input; high-degree rows stack deep and fold here.)
     pan_reg = np.array([m_[0] * NDIG + m_[1] for m_ in pan_meta],
                        dtype=np.int64) if pan_meta else np.zeros(1, np.int64)
-    pc_panel = occ // (NDIG * LANES)
-    pc_d1 = (occ // LANES) % NDIG
-    pc_reg = pan_reg[pc_panel]
-    o6 = np.lexsort((pc_panel, tl[occ], pc_d1, pc_reg))
-    oc = occ[o6]
-    rd_key = pc_reg[o6] * NDIG + pc_d1[o6]
-    lr_key = rd_key * LANES + tl[oc]
-    lchg = np.concatenate([[True], lr_key[1:] != lr_key[:-1]])
-    st7 = np.flatnonzero(lchg)
-    t_lr = np.arange(oc.size) - np.repeat(
-        st7, np.diff(np.concatenate([st7, [oc.size]])))
-    # chunks per (region, d1): ceil(max piece depth / 8)
-    depth = t_lr // STRIPE
-    nch_rd = np.zeros((pa_panels * NDIG if pa_panels else 1,), np.int64)
-    rd_ids = np.unique(rd_key)
-    nch_map = {}
-    ch_base = 0
-    chunk_dst_list = []
-    for rd in rd_ids.tolist():
-        msk = rd_key == rd
-        d_ = int(depth[msk].max()) + 1
-        nch_map[rd] = (ch_base, d_)
-        bb = int(tb[oc[msk][0]])
-        chunk_dst_list.extend([bb] * d_)
-        ch_base += d_
-    nchunks = max(1, ch_base)
-    chunk_id = np.array([nch_map[int(rd)][0] for rd in rd_key],
-                        dtype=np.int64) + depth
-    dst = (chunk_id * STRIPE + t_lr % STRIPE) * LANES + tl[oc]
+    if E == 0:
+        fixg = build_gather_plan(pa_panels * PROWS, STRIPE,
+                                 np.full(STRIPE * LANES, -1, np.int64))
+        fix2g = build_gather_plan(STRIPE, STRIPE,
+                                  np.full(STRIPE * LANES, -1, np.int64))
+        dense_rows0 = -(-(-(-dense_len // LANES)) // STRIPE) * STRIPE
+        mexp0 = build_gather_plan(
+            nblocks, dense_rows0, np.full(dense_rows0 * LANES, -1, np.int64))
+        return Spmv3Plan(
+            NC=NC, NR=NR, nblocks=nblocks, n_edges=0,
+            xext_rows=xext_rows, exp_panels=exp_panels,
+            pa_panels=pa_panels, pa_nwin=NWIN, exp_route=exp_route,
+            pa_route=pa_route, pa_bases=pa_bases, w_stream=w_stream,
+            fix_dst=np.zeros(1, np.int32), fix2_dst=np.zeros(1, np.int32),
+            xext=xext_plan, fixg=fixg, fix2g=fix2g, mexp=mexp0,
+            dense_rows=dense_rows0)
+    e_parow = _parows                      # actual routed rows (from pass A)
+    s1_pos = e_pan * PSLOTS + e_parow * LANES + pa_lane
+    e_blk = blk[order]
+    e_reg = pan_reg[e_pan]
+    # order pieces per (block, region, lr, stream) — block-major so a
+    # block's y_mid rows are contiguous for the level-2 gather
+    o6 = np.lexsort((strip_ord, pos_in_stripe, e_row, e_reg, e_blk))
+    nreg = int(pan_reg.max()) + 1 if pan_reg.size else 1
+    rb_key = e_blk[o6] * np.int64(nreg + 1) + e_reg[o6]
+    row_key = rb_key * np.int64(LANES) + (e_row[o6] % LANES)
+    # depth per (region, block): smallest d with sum(ceil(cnt_lr/(8d))) <= 128
+    rchg = np.concatenate([[True], rb_key[1:] != rb_key[:-1]])
+    rid = np.cumsum(rchg) - 1
+    nrb = int(rid[-1]) + 1 if E else 0
+    lchg = np.concatenate([[True], row_key[1:] != row_key[:-1]])
+    lid = np.cumsum(lchg) - 1
+    cnt_lr = np.bincount(lid)                      # per (rb, lr) count
+    lr_rb = rid[np.flatnonzero(lchg)]              # rb of each lr-run
+    e_rb_tot = np.bincount(rid)
+    depth_rb = np.maximum(1, -(-e_rb_tot // (LANES * STRIPE)))
+    for _ in range(8):
+        lanes_need = np.bincount(
+            lr_rb, weights=-(-cnt_lr // (STRIPE * depth_rb[lr_rb])),
+            minlength=nrb).astype(np.int64)
+        bad = lanes_need > LANES
+        if not bad.any():
+            break
+        depth_rb[bad] += np.maximum(1, depth_rb[bad] // 2)
+    else:
+        raise ValueError("fixup depth did not converge")
+    # positions: per lr-run: t -> lanecol_base + t//(8d), k = t%(8d)
+    t_in = np.arange(E) - np.repeat(np.flatnonzero(lchg),
+                                    np.diff(np.concatenate(
+                                        [np.flatnonzero(lchg), [E]])))
+    d8 = STRIPE * depth_rb[rid]
+    cols_of_run = -(-cnt_lr // (STRIPE * depth_rb[lr_rb]))
+    colbase = np.zeros(cnt_lr.size, dtype=np.int64)
+    if cnt_lr.size:
+        cc_ = np.cumsum(cols_of_run) - cols_of_run
+        rb_first = np.concatenate(
+            [[True], lr_rb[1:] != lr_rb[:-1]])
+        base_rb = np.repeat(cc_[rb_first], np.diff(np.concatenate(
+            [np.flatnonzero(rb_first), [cnt_lr.size]])))
+        colbase = cc_ - base_rb
+    lanecol = colbase[lid] + t_in // d8
+    kk_ = t_in % d8
+    # chunk enumeration: rb group rb has depth_rb chunks
+    ch0_rb = np.concatenate([[0], np.cumsum(depth_rb)])[:-1] if nrb else \
+        np.zeros(1, np.int64)
+    chunk_id = ch0_rb[rid] + kk_ // STRIPE
+    nchunks = int(depth_rb.sum()) if nrb else 1
+    dst = (chunk_id * STRIPE + kk_ % STRIPE) * LANES + lanecol
     src_of_fix = np.full(nchunks * STRIPE * LANES, -1, dtype=np.int64)
-    src_of_fix[dst] = oc // (NDIG * LANES) * (STRIPE * LANES) + \
-        (oc // LANES % NDIG) * LANES + oc % LANES
-    ylr = -(-ylane_rows // STRIPE) * STRIPE
-    fixg = build_gather_plan(ylr, nchunks * STRIPE, src_of_fix)
-    fix_dst = np.array(chunk_dst_list, dtype=np.int32) if chunk_dst_list \
-        else np.zeros(1, np.int32)
+    src_of_fix[dst] = s1_pos[o6]
+    s1_rows = pa_panels * PROWS
+    fixg = build_gather_plan(s1_rows, nchunks * STRIPE, src_of_fix)
+    fix_dst = np.zeros(nchunks, dtype=np.int32)
+    rb_blk = (rb_key[np.flatnonzero(rchg)] // (nreg + 1)) if E else \
+        np.zeros(1, np.int64)
+    if nrb:
+        # y_mid row per (block, region) group
+        fix_dst = np.repeat(np.arange(nrb), depth_rb).astype(np.int32)
+
+    # second level: y_mid (nrb,128) lane-columns -> (block, lr)
+    nrb1 = max(nrb, 1)
+    mid_used = np.zeros((nrb1, LANES), dtype=np.int64) - 1
+    mid_used[rid, lanecol] = e_row[o6] % LANES
+    mid_blk = np.zeros(nrb1, dtype=np.int64)
+    mid_blk[rid] = e_blk[o6]
+    occ2 = np.argwhere(mid_used >= 0)
+    r2, l2 = occ2[:, 0], occ2[:, 1]
+    b2 = mid_blk[r2]
+    lr2 = mid_used[r2, l2]
+    o7 = np.lexsort((l2, r2, lr2, b2))
+    key7 = (b2[o7] * np.int64(LANES) + lr2[o7])
+    k7chg = np.concatenate([[True], key7[1:] != key7[:-1]])
+    t7 = np.arange(b2.size) - np.repeat(
+        np.flatnonzero(k7chg), np.diff(np.concatenate(
+            [np.flatnonzero(k7chg), [b2.size]])))
+    b7chg = np.concatenate([[True], b2[o7][1:] != b2[o7][:-1]])
+    bid7 = np.cumsum(b7chg) - 1
+    nb7 = int(bid7[-1]) + 1 if b2.size else 0
+    dep7 = np.zeros(nb7, dtype=np.int64)
+    np.maximum.at(dep7, bid7, t7 // STRIPE + 1)
+    ch07 = np.concatenate([[0], np.cumsum(dep7)])[:-1] if nb7 else \
+        np.zeros(1, np.int64)
+    chunk7 = ch07[bid7] + (t7 % (STRIPE * np.maximum(dep7[bid7], 1))) // STRIPE
+    nch7 = int(dep7.sum()) if nb7 else 1
+    dst7 = (chunk7 * STRIPE + t7 % STRIPE) * LANES + lr2[o7]
+    src7 = np.full(nch7 * STRIPE * LANES, -1, dtype=np.int64)
+    src7[dst7] = r2[o7] * LANES + l2[o7]
+    nblocks8 = -(-nrb1 // STRIPE) * STRIPE
+    fix2g = build_gather_plan(nblocks8, nch7 * STRIPE, src7)
+    fix2_dst = np.zeros(nch7, dtype=np.int32)
+    if nb7:
+        blk_of7 = b2[o7][np.flatnonzero(b7chg)]
+        fix2_dst = np.repeat(blk_of7, dep7).astype(np.int32)
 
     # ---- mexp: compact y -> dense rows (v2 gather)
     dense_rows = -(-(-(-dense_len // LANES)) // STRIPE) * STRIPE
@@ -846,7 +927,8 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
         xext_rows=xext_rows, exp_panels=exp_panels, pa_panels=pa_panels,
         pa_nwin=NWIN, exp_route=exp_route, pa_route=pa_route,
         pa_bases=pa_bases, w_stream=w_stream, fix_dst=fix_dst,
-        xext=xext_plan, fixg=fixg, mexp=mexp_plan, dense_rows=dense_rows)
+        fix2_dst=fix2_dst, xext=xext_plan, fixg=fixg, fix2g=fix2g,
+        mexp=mexp_plan, dense_rows=dense_rows)
 
 
 def simulate_spmv3(plan: Spmv3Plan, x: np.ndarray, fill, reduce_kind="sum",
@@ -872,20 +954,24 @@ def simulate_spmv3(plan: Spmv3Plan, x: np.ndarray, fill, reduce_kind="sum",
     v = blocks[plan.pa_bases.reshape(plan.pa_panels, plan.pa_nwin)]
     v = v.reshape(plan.pa_panels * plan.pa_nwin * STRIPE, LANES)
     s1 = simulate_route(plan.pa_route, v, plan.pa_panels)
-    # pass B: column-⊕ within each d1 stripe
-    s1 = s1.reshape(plan.pa_panels, NDIG, STRIPE, LANES)
-    y_lane = red.reduce(s1, axis=2).reshape(-1, LANES)
-    ylr = -(-y_lane.shape[0] // STRIPE) * STRIPE
-    ylp = np.full((ylr, LANES), fill, y_lane.dtype)
-    ylp[:y_lane.shape[0]] = y_lane
-    ystack = simulate_gather(plan.fixg, ylp, fill)
-    ystack = ystack.reshape(-1, STRIPE, LANES)
-    part = red.reduce(ystack, axis=1)               # (fix_chunks, 128)
-    y = np.full((plan.nblocks, LANES), fill, part.dtype)
-    if reduce_kind == "sum":
-        np.add.at(y, plan.fix_dst, part)
-    elif reduce_kind == "min":
-        np.minimum.at(y, plan.fix_dst, part)
-    else:
-        np.maximum.at(y, plan.fix_dst, part)
+
+    def chunked_fold(src2d, gplan, dstv, nrows):
+        stack = simulate_gather(gplan, src2d, fill)
+        stack = stack.reshape(-1, STRIPE, LANES)
+        part = red.reduce(stack, axis=1)
+        out = np.full((nrows, LANES), fill, part.dtype)
+        if reduce_kind == "sum":
+            np.add.at(out, dstv, part)
+        elif reduce_kind == "min":
+            np.minimum.at(out, dstv, part)
+        else:
+            np.maximum.at(out, dstv, part)
+        return out
+
+    nb_raw = (plan.fix_dst.max() + 1) if plan.fix_dst.size else 1
+    y_mid = chunked_fold(s1, plan.fixg, plan.fix_dst, int(nb_raw))
+    y_mid8 = np.full((-(-y_mid.shape[0] // STRIPE) * STRIPE, LANES), fill,
+                     y_mid.dtype)
+    y_mid8[:y_mid.shape[0]] = y_mid
+    y = chunked_fold(y_mid8, plan.fix2g, plan.fix2_dst, plan.nblocks)
     return y.reshape(-1)

@@ -157,13 +157,13 @@ def test_panel_kernels_match_simulator(kind):
                      jnp.asarray(plan.pa_route.sel_b),
                      jnp.asarray(plan.pa_route.idx3),
                      fill, plan.pa_panels, plan.pa_nwin, interpret=True)
-    ylane = fold_stripes(s1, kind, plan.pa_panels, interpret=True)
-    ylr = -(-int(ylane.shape[0]) // STRIPE) * STRIPE
-    ylp = jnp.concatenate(
-        [ylane, jnp.full((ylr - ylane.shape[0], LANES), fill,
-                         ylane.dtype)], axis=0)
-    ystack = simulate_gather(plan.fixg, np.asarray(ylp), fill)
-    y = colsum_chunks(jnp.asarray(ystack), jnp.asarray(plan.fix_dst),
+    nrb = int(plan.fix_dst.max()) + 1 if plan.fix_dst.size else 1
+    stack1 = simulate_gather(plan.fixg, np.asarray(s1), fill)
+    y_mid = colsum_chunks(jnp.asarray(stack1), jnp.asarray(plan.fix_dst),
+                          -(-nrb // STRIPE) * STRIPE, kind, fill,
+                          interpret=True)
+    stack2 = simulate_gather(plan.fix2g, np.asarray(y_mid), fill)
+    y = colsum_chunks(jnp.asarray(stack2), jnp.asarray(plan.fix2_dst),
                       plan.nblocks, kind, fill, interpret=True)
     np.testing.assert_allclose(np.asarray(y).reshape(-1), y_ref,
                                rtol=1e-5)

@@ -90,3 +90,23 @@ def test_sssp_shuffle2(mesh, rmat10_w_edges):
     sv = ex.state_vector()
     dist_g = golden.sssp(src, dst, w, NV, root=0)
     np.testing.assert_array_equal(sv["distance"].astype(np.int64), dist_g)
+
+
+def test_pagerank_panel(mesh, rmat10_edges):
+    """The v3 panel pipeline through the engine on the golden oracle."""
+    src, dst = rmat10_edges
+    cfg = GraphConfig(num_vertices=1024, directed=True, transpose=True,
+                      compression=Compression.TCSC)
+    g = Graph.from_edges(src, dst, None, cfg, mesh=mesh)
+    deg_ex = Executor(g, DegreeProgram(value_dtype=jnp.float64),
+                      EngineConfig(stationary=True, ordering=Ordering.COL),
+                      kernel="panel")
+    deg_ex.initialize()
+    deg_ex.execute(1)
+    pr_ex = Executor(g, PageRankProgram(value_dtype=jnp.float64),
+                     EngineConfig(stationary=True, ordering=Ordering.ROW),
+                     kernel="panel")
+    pr_ex.initialize(other=deg_ex)
+    pr_ex.execute(20)
+    total, _ = pr_ex.checksum()
+    assert total == pytest.approx(REF_PR_CHECKSUM, rel=1e-9)
