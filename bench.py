@@ -75,6 +75,16 @@ def get_artifacts(graph, ordering, kernel, value_dtype):
             plans = build_spmv2_meta(tiles, value_dtype=np.dtype(value_dtype))
             ac.save_spmv2_meta(plans, pp)
         log(f"[bench] plans2({ordering.value}) ready")
+    elif kernel == "panel":
+        pp = os.path.join(CACHE,
+                          f"plans3_{key}_{np.dtype(value_dtype).name}.npz")
+        if os.path.exists(pp):
+            plans = ac.load_spmv3_meta(pp)
+        else:
+            from graphtap_tpu.kernels.panel_engine import build_spmv3_meta
+            plans = build_spmv3_meta(tiles, value_dtype=np.dtype(value_dtype))
+            ac.save_spmv3_meta(plans, pp)
+        log(f"[bench] plans3({ordering.value}) ready")
     return tiles, plans
 
 
@@ -126,7 +136,9 @@ def main():
     nnz = pr_ex.tiles.nnz_total
 
     # warmup (compile) — run the full fixed-iteration loop once
+    t_w = time.perf_counter()
     pr_ex.execute(ITERS)
+    warmup_s = time.perf_counter() - t_w
     log(f"[bench] warmup done t={time.perf_counter()-t0:.0f}s")
 
     # timed: re-init and run again
@@ -147,6 +159,7 @@ def main():
             "edges": int(nnz), "iters": ITERS, "seconds": round(dt, 4),
             "checksum": round(checksum, 2), "kernel": KERNEL,
             "devices": len(jax.devices()),
+            "warmup_seconds": round(warmup_s, 1),
         },
     }))
 

@@ -32,7 +32,8 @@ def app_main(name: str, run, third_arg: str = "iters", default_third=0):
     p.add_argument("nvertices", type=int)
     p.add_argument(third_arg, type=int, nargs="?", default=default_third)
     p.add_argument("--kernel", default="scan",
-                   choices=["scan", "segment", "shuffle", "shuffle2"])
+                   choices=["scan", "segment", "shuffle", "shuffle2",
+                            "panel"])
     args = p.parse_args()
 
     t0 = time.perf_counter()

@@ -94,7 +94,7 @@ def run_pagerank(graph: Graph, num_iterations: int = 0,
 def run_pagerank_two_load(path: str, num_vertices: int,
                           num_iterations: int = 0,
                           value_dtype=jnp.float32,
-                          mesh=None) -> Executor:
+                          mesh=None, kernel: str = "scan") -> Executor:
     """pr1.cpp parity: load the graph twice (untransposed for degree,
     transposed for PR) with plain TCSC (pr1.cpp:32-53)."""
     cfg_deg = GraphConfig(num_vertices=num_vertices, directed=True,
@@ -102,19 +102,23 @@ def run_pagerank_two_load(path: str, num_vertices: int,
     cfg_pr = GraphConfig(num_vertices=num_vertices, directed=True,
                          transpose=True, compression=Compression.TCSC)
     g_deg = Graph.load(path, cfg_deg, mesh=mesh)
-    deg_ex = run_degree_for_handoff(g_deg, value_dtype)
+    deg_ex = run_degree_for_handoff(g_deg, value_dtype, kernel=kernel)
     g_pr = Graph.load(path, cfg_pr, mesh=mesh)
     pr = PageRankProgram(value_dtype=value_dtype)
     pr_ex = Executor(g_pr, pr,
-                     EngineConfig(stationary=True, ordering=Ordering.ROW))
+                     EngineConfig(stationary=True, ordering=Ordering.ROW),
+                     kernel=kernel)
     pr_ex.initialize(other=deg_ex)
     pr_ex.execute(num_iterations)
     return pr_ex
 
 
-def run_degree_for_handoff(graph: Graph, value_dtype=jnp.float32) -> Executor:
+def run_degree_for_handoff(graph: Graph, value_dtype=jnp.float32,
+                           kernel: str = "scan") -> Executor:
     deg = DegreeProgram(value_dtype=value_dtype)
-    ex = Executor(graph, deg, EngineConfig(stationary=True, ordering=Ordering.ROW))
+    ex = Executor(graph, deg,
+                  EngineConfig(stationary=True, ordering=Ordering.ROW),
+                  kernel=kernel)
     ex.initialize()
     ex.execute(1)
     return ex

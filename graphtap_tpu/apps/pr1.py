@@ -6,7 +6,8 @@ from graphtap_tpu.apps._cli import app_main, timed
 
 
 def _run(path, nv, iters, kernel):
-    return timed(run_pagerank_two_load, path, nv, num_iterations=iters)
+    return timed(run_pagerank_two_load, path, nv, num_iterations=iters,
+                 kernel=kernel)
 
 
 if __name__ == "__main__":

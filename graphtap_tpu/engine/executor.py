@@ -330,7 +330,12 @@ class Executor:
         timer = timer or PhaseTimer()
         ph = self._jit_phases
         V, C = self.state, self.changed
-        for it in range(num_iterations):
+        # num_iterations <= 0 = run to convergence (the reference's default
+        # execute(0) mode, vertex_program.hpp:412-413)
+        it = -1
+        max_it = num_iterations if num_iterations and num_iterations > 0 \
+            else _MAX_CONVERGENCE_ITERS
+        for it in range(max_it):
             with timer.phase("scatter_gather"):
                 x = ph["scatter_gather"](V, C)
                 jax.block_until_ready(x)

@@ -115,11 +115,19 @@ class TileSet:
 def classify_vertices(r: np.ndarray, c: np.ndarray, n_pad: int):
     """Vertex classes over the stored matrix (reference:
     classify_vertices, matrix.hpp:1125-1282): regular = row∧col present,
-    source rows = rows without cols, sink cols = cols without rows."""
+    source rows = rows without cols, sink cols = cols without rows.
+
+    Multi-process: each host holds only its post-``exchange_edges`` share
+    of the edge list, so the presence bitvectors are OR-combined across
+    processes — the same leader OR the reference does for its filter
+    bitvectors (matrix.hpp:990-1006). No-op single-process."""
+    from graphtap_tpu.parallel import multihost as mh
     has_row = np.zeros(n_pad, dtype=bool)
     has_col = np.zeros(n_pad, dtype=bool)
     has_row[np.asarray(r, np.int64)] = True
     has_col[np.asarray(c, np.int64)] = True
+    has_row = mh.global_or(has_row)
+    has_col = mh.global_or(has_col)
     return {
         "regular": has_row & has_col,
         "source_row": has_row & ~has_col,

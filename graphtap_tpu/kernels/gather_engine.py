@@ -26,7 +26,8 @@ from graphtap_tpu.kernels.semiring import Semiring
 from graphtap_tpu.kernels.gather_plan import (Spmv2Plan, build_spmv2_plan,
                                               GatherPlan, LANES, SUB,
                                               SID_INVALID, NPASSES)
-from graphtap_tpu.kernels.gather_kernels import windowed_gather, SEG_STEPS
+from graphtap_tpu.kernels.gather_kernels import (windowed_gather, SEG_STEPS,
+                                                 seg_round_rows)
 from graphtap_tpu.kernels.shuffle_kernels import grouped_reduce
 
 _STAGES = ["exp"] + [f"p{p}" for p in range(NPASSES)] + ["mx"]
@@ -106,13 +107,7 @@ def build_spmv2_meta(tiles: TileSet, value_dtype=np.float32,
     # multi-process run each host planned only its own devices' tiles
     from graphtap_tpu.parallel import multihost as mh
 
-    def _seg_round(rows):
-        # segmented kernel calls need a whole number of SEG_STEPS segments
-        steps = rows // SUB
-        if steps > SEG_STEPS:
-            steps = -(-steps // SEG_STEPS) * SEG_STEPS
-        return steps * SUB
-
+    _seg_round = seg_round_rows
     nblocks = int(mh.global_max(max(p.nblocks for p in plans)))
     nblocks = -(-nblocks // SUB) * SUB
     dense_rows = _seg_round(int(mh.global_max(max(p.dense_rows

@@ -88,6 +88,16 @@ SEG_STEPS = 2048   # max grid steps per pallas_call: keeps the wsel/nact
                    # scalar-prefetch arrays within the ~1 MB SMEM budget
 
 
+def seg_round_rows(rows: int) -> int:
+    """Round a windowed_gather out_rows so the segmented driver's
+    ``nsteps % SEG_STEPS == 0`` contract holds (planners call this on
+    every stage's output rows; ≤ one segment needs no rounding)."""
+    steps = rows // SUB
+    if steps > SEG_STEPS:
+        steps = -(-steps // SEG_STEPS) * SEG_STEPS
+    return steps * SUB
+
+
 def windowed_gather(src2d, wsel, nact, cidx, meta, weights, fill,
                     out_rows: int, nsub: int, mul_kind: str = "none",
                     interpret: bool = False):

@@ -56,7 +56,7 @@ class GatherPlan:
 
 
 def build_gather_plan(src_rows: int, out_rows: int,
-                      src_of: np.ndarray) -> GatherPlan:
+                      src_of: np.ndarray, spill: Optional[int] = None):
     """Compile an arbitrary static gather into the windowed-gather format.
 
     ``src_of[p]`` = linear source slot (row*128+lane) feeding output slot
@@ -64,6 +64,12 @@ def build_gather_plan(src_rows: int, out_rows: int,
     conflict layer); a conflict is two outputs in the same lane wanting
     the same source row but different source lanes — resolved by pointing
     a second subop at the same window block.
+
+    With ``spill=K``: instead of raising when a step needs more than
+    ``SID_INVALID-1`` subops, return ``("spill", bad_pos)`` where
+    ``bad_pos`` are the linear output slots whose subop id is >= K — the
+    caller relocates them (chunked-fold callers append duplicate chunks
+    with the same destination row) and retries.
     """
     assert out_rows % SUB == 0 and src_rows % SUB == 0
     nsteps = out_rows // SUB
@@ -107,7 +113,11 @@ def build_gather_plan(src_rows: int, out_rows: int,
     sstart = np.flatnonzero(step_chg)
     slen = np.diff(np.concatenate([sstart, [so.size]]))
     sid2 = sub_seq - np.repeat(sub_seq[sstart], slen)  # subop id within step
-    if sid2.size and int(sid2.max()) >= SID_INVALID:
+    if sid2.size and int(sid2.max()) >= (
+            spill if spill is not None else SID_INVALID):
+        if spill is not None:
+            bad = sid2 >= spill
+            return "spill", pos[order[so[bad]]]
         raise ValueError(
             f"windowed-gather step needs {int(sid2.max()) + 1} subops "
             f"(max {SID_INVALID - 1}); re-pack with a lower bchg cap")

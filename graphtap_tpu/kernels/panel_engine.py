@@ -29,7 +29,7 @@ from graphtap_tpu.kernels.panel_plan import (Spmv3Plan, build_spmv3_plan,
 from graphtap_tpu.kernels.panel_kernels import (route_expand, route_passa,
                                                 colsum_chunks)
 from graphtap_tpu.kernels.gather_engine import _pad_gather_plan
-from graphtap_tpu.kernels.gather_kernels import windowed_gather
+from graphtap_tpu.kernels.gather_kernels import windowed_gather, seg_round_rows
 
 
 @dataclass
@@ -104,7 +104,13 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
         for p in plans)))
     nrb = -(-nrb // STRIPE) * STRIPE + STRIPE     # + scratch row block
     nblocks = int(mh.global_max(max(p.nblocks for p in plans))) + STRIPE
-    dense_rows = int(mh.global_max(max(p.dense_rows for p in plans)))
+    dense_rows = seg_round_rows(
+        int(mh.global_max(max(p.dense_rows for p in plans))))
+    # every windowed_gather out_rows must satisfy the segmented driver's
+    # SEG_STEPS contract (gather_kernels.seg_round_rows); pad chunks fold
+    # into the scratch rows / truncate away, so rounding up is free
+    fix_chunks = seg_round_rows(fix_chunks * STRIPE) // STRIPE
+    fix2_chunks = seg_round_rows(fix2_chunks * STRIPE) // STRIPE
     xext_rows = exp_panels * XROWS
     has_w = tiles.weights is not None
 
@@ -113,7 +119,7 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
     out_rows = {}
     src_rows = {}
     sx = -(-(-(-NC // LANES)) // STRIPE) * STRIPE
-    for k, sr_, orows in (("xext", sx, xext_rows),
+    for k, sr_, orows in (("xext", sx, seg_round_rows(xext_rows)),
                           ("fixg", pa_panels * PROWS, fix_chunks * STRIPE),
                           ("fix2g", nrb, fix2_chunks * STRIPE),
                           ("mexp", nblocks, dense_rows)):
@@ -146,6 +152,10 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
         fd = np.full(fix_chunks, nrb - STRIPE, np.int32)
         fd[:p.fix_dst.size] = p.fix_dst
         arrs.setdefault("fix_dst", []).append(fd)
+        hm = np.zeros(nrb, dtype=np.int8)
+        hm[:min(p.hub_mask.size, nrb)] = \
+            p.hub_mask[:nrb].astype(np.int8)
+        arrs.setdefault("hub_mask", []).append(hm)
         fd2 = np.full(fix2_chunks, nblocks - STRIPE, np.int32)
         fd2[:p.fix2_dst.size] = p.fix2_dst
         arrs.setdefault("fix2_dst", []).append(fd2)
@@ -197,6 +207,16 @@ def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
         meta.nsub["fixg"], mul_kind="none", interpret=interpret)
     y_mid = colsum_chunks(stack1, t["fix_dst"], meta.nrb,
                           semiring.reduce_kind, fill, interpret=interpret)
+    # hub rows (one dedicated y_mid row per hub run): lane-⊕-fold the row
+    # into every lane so fix2 reads one conflict-free cell per hub
+    hm = t["hub_mask"].astype(jnp.bool_)
+    if semiring.reduce_kind == "sum":
+        folded = jnp.sum(y_mid, axis=1, keepdims=True)
+    elif semiring.reduce_kind == "min":
+        folded = jnp.min(y_mid, axis=1, keepdims=True)
+    else:
+        folded = jnp.max(y_mid, axis=1, keepdims=True)
+    y_mid = jnp.where(hm[:, None], folded, y_mid)
     stack2 = windowed_gather(
         y_mid, t["fix2g_wsel"], t["fix2g_nact"], t["fix2g_cidx"],
         t["fix2g_meta"], None, fill, meta.out_rows["fix2g"],

@@ -457,6 +457,61 @@ def simulate_route(plan: RoutePlan, v: np.ndarray, npanels: int
     return out.reshape(npanels * PROWS, LANES)
 
 
+SPILL_CAP = 22     # subop budget per windowed-gather step before spilling
+
+
+def _gather_with_spill(src_rows: int, src_of: np.ndarray,
+                       dst_chunk: np.ndarray, cap: int = SPILL_CAP):
+    """build_gather_plan for a chunked-fold stage, relocating slots of
+    over-budget steps into fresh chunks with the SAME fold destination
+    (the ⊕-fold accumulates duplicate chunks, so spilling is free).
+    Returns (GatherPlan, extended dst_chunk)."""
+    from graphtap_tpu.kernels.gather_plan import build_gather_plan
+    src_of = np.asarray(src_of, np.int64).copy()
+    dst_chunk = np.asarray(dst_chunk, np.int32)
+    for _ in range(16):
+        res = build_gather_plan(src_rows, dst_chunk.size * STRIPE, src_of,
+                                spill=cap)
+        if not (isinstance(res, tuple) and res[0] == "spill"):
+            return res, dst_chunk
+        bad_pos = res[1]
+        vals = src_of[bad_pos]
+        chunks_of = (bad_pos // (STRIPE * LANES)).astype(np.int64)
+        lane = bad_pos % LANES        # lanes are destination-pure: KEEP
+        src_of[bad_pos] = -1
+        # spill chunks per over-budget source chunk (keeps the spilled
+        # windows together and the destination row identical); a slot
+        # stays in its lane, stacking 8 per (spill chunk, lane)
+        o = np.lexsort((lane, chunks_of))
+        cs, ln = chunks_of[o], lane[o]
+        gl_chg = np.ones(cs.size, dtype=bool)
+        gl_chg[1:] = (cs[1:] != cs[:-1]) | (ln[1:] != ln[:-1])
+        r_g = np.arange(cs.size) - np.repeat(
+            np.flatnonzero(gl_chg),
+            np.diff(np.concatenate([np.flatnonzero(gl_chg), [cs.size]])))
+        sub = r_g // STRIPE
+        row = r_g % STRIPE
+        key = cs * np.int64(STRIPE * LANES) + sub   # (orig chunk, layer)
+        kchg = np.ones(cs.size, dtype=bool)
+        kchg[1:] = key[1:] != key[:-1]
+        # new-chunk id per (orig chunk, layer), in sorted key order
+        ko = np.argsort(key, kind="stable")
+        ksorted = key[ko]
+        kfirst = np.ones(cs.size, dtype=bool)
+        kfirst[1:] = ksorted[1:] != ksorted[:-1]
+        kid_sorted = np.cumsum(kfirst) - 1
+        new_id = np.empty(cs.size, dtype=np.int64)
+        new_id[ko] = kid_sorted
+        nnew = int(kid_sorted[-1]) + 1 if cs.size else 0
+        ext = np.zeros(nnew * STRIPE * LANES, dtype=np.int64) - 1
+        ext[new_id * STRIPE * LANES + row * LANES + ln] = vals[o]
+        src_of = np.concatenate([src_of, ext])
+        new_dst = np.zeros(nnew, dtype=np.int32)
+        new_dst[new_id] = dst_chunk[cs]
+        dst_chunk = np.concatenate([dst_chunk, new_dst])
+    raise ValueError("gather spill did not converge")
+
+
 @dataclass
 class Spmv3Plan:
     """Complete static plan for one device's v3 panel SpMV."""
@@ -474,6 +529,8 @@ class Spmv3Plan:
     w_stream: Optional[np.ndarray]  # (exp_panels*PROWS, 128) or None
     fix_dst: np.ndarray    # (fix_chunks,) int32 y_mid row per chunk
     fix2_dst: np.ndarray   # (fix2_chunks,) int32 compact-y row per chunk
+    hub_mask: np.ndarray   # (y_mid rows,) bool — rows lane-⊕-folded
+                           # before the level-2 gather (hub runs)
     # v2 gather plans (windowed_gather) for the small stages
     xext: "object"         # x -> x_ext
     fixg: "object"         # s1 -> stack1 (fix_chunks*8 rows)
@@ -811,6 +868,7 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
             pa_panels=pa_panels, pa_nwin=NWIN, exp_route=exp_route,
             pa_route=pa_route, pa_bases=pa_bases, w_stream=w_stream,
             fix_dst=np.zeros(1, np.int32), fix2_dst=np.zeros(1, np.int32),
+            hub_mask=np.zeros(1, dtype=bool),
             xext=xext_plan, fixg=fixg, fix2g=fix2g, mexp=mexp0,
             dense_rows=dense_rows0)
     e_parow = _parows                      # actual routed rows (from pass A)
@@ -819,73 +877,151 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     e_reg = pan_reg[e_pan]
     # order pieces per (block, region, lr, stream) — block-major so a
     # block's y_mid rows are contiguous for the level-2 gather
-    o6 = np.lexsort((strip_ord, pos_in_stripe, e_row, e_reg, e_blk))
-    nreg = int(pan_reg.max()) + 1 if pan_reg.size else 1
-    rb_key = e_blk[o6] * np.int64(nreg + 1) + e_reg[o6]
-    row_key = rb_key * np.int64(LANES) + (e_row[o6] % LANES)
-    # depth per (region, block): smallest d with sum(ceil(cnt_lr/(8d))) <= 128
-    rchg = np.concatenate([[True], rb_key[1:] != rb_key[:-1]])
-    rid = np.cumsum(rchg) - 1
-    nrb = int(rid[-1]) + 1 if E else 0
-    lchg = np.concatenate([[True], row_key[1:] != row_key[:-1]])
+    # runs = (region, d1, block, row) — a run's edges all live in ONE bin
+    # (super, d0, d1), whose s1 stripes are the few (panel, d1) stripes of
+    # its region; ordering runs bin-major and filling slots CHUNK-major
+    # (consecutive source positions fill a whole chunk across the run's
+    # lane-columns) keeps every fixg chunk's source-window count at the
+    # bin's stripe count. The old (block, region)-rectangular layout mixed
+    # bins per chunk (87 windows at scale 16) and its uniform group depth
+    # diverges on hub+many-rows mixes.
+    # Within a run, edges are ordered by source (stripe, row, lane) and
+    # then DEALT round-robin across the run's cells (cell = rank % w):
+    # duplicate (stripe, row) sources — adjacent in this order — land in
+    # different output lanes, so an 8-slot lane-column never needs two
+    # source lanes for one (window, source-row, out-lane) key — the
+    # conflict that costs build_gather_plan a subop layer. Chunk c of the
+    # run still reads ranks [8cw, 8cw+8w), a contiguous stripe span.
+    o6 = np.lexsort((s1_pos, e_row, e_blk, e_d1, e_reg))
+    er_, ed1_, eb_, erow_ = e_reg[o6], e_d1[o6], e_blk[o6], e_row[o6]
+    lchg = np.ones(E, dtype=bool)
+    lchg[1:] = ((er_[1:] != er_[:-1]) | (ed1_[1:] != ed1_[:-1]) |
+                (eb_[1:] != eb_[:-1]) | (erow_[1:] != erow_[:-1]))
     lid = np.cumsum(lchg) - 1
-    cnt_lr = np.bincount(lid)                      # per (rb, lr) count
-    lr_rb = rid[np.flatnonzero(lchg)]              # rb of each lr-run
-    e_rb_tot = np.bincount(rid)
-    depth_rb = np.maximum(1, -(-e_rb_tot // (LANES * STRIPE)))
-    for _ in range(8):
-        lanes_need = np.bincount(
-            lr_rb, weights=-(-cnt_lr // (STRIPE * depth_rb[lr_rb])),
-            minlength=nrb).astype(np.int64)
-        bad = lanes_need > LANES
-        if not bad.any():
-            break
-        depth_rb[bad] += np.maximum(1, depth_rb[bad] // 2)
-    else:
-        raise ValueError("fixup depth did not converge")
-    # positions: per lr-run: t -> lanecol_base + t//(8d), k = t%(8d)
-    t_in = np.arange(E) - np.repeat(np.flatnonzero(lchg),
-                                    np.diff(np.concatenate(
-                                        [np.flatnonzero(lchg), [E]])))
-    d8 = STRIPE * depth_rb[rid]
-    cols_of_run = -(-cnt_lr // (STRIPE * depth_rb[lr_rb]))
-    colbase = np.zeros(cnt_lr.size, dtype=np.int64)
-    if cnt_lr.size:
-        cc_ = np.cumsum(cols_of_run) - cols_of_run
-        rb_first = np.concatenate(
-            [[True], lr_rb[1:] != lr_rb[:-1]])
-        base_rb = np.repeat(cc_[rb_first], np.diff(np.concatenate(
-            [np.flatnonzero(rb_first), [cnt_lr.size]])))
-        colbase = cc_ - base_rb
-    lanecol = colbase[lid] + t_in // d8
-    kk_ = t_in % d8
-    # chunk enumeration: rb group rb has depth_rb chunks
-    ch0_rb = np.concatenate([[0], np.cumsum(depth_rb)])[:-1] if nrb else \
-        np.zeros(1, np.int64)
-    chunk_id = ch0_rb[rid] + kk_ // STRIPE
-    nchunks = int(depth_rb.sum()) if nrb else 1
-    dst = (chunk_id * STRIPE + kk_ % STRIPE) * LANES + lanecol
+    run_starts = np.flatnonzero(lchg)
+    cnt_run = np.bincount(lid)
+    nrun = cnt_run.size
+    run_blk = eb_[run_starts]
+    run_lr = (erow_ % LANES)[run_starts]
+    # a run of cnt edges gets w = ceil(cnt/(8*d)) lane-column CELLS of
+    # depth d = ceil(cnt/1024) chunks. Two allocation tiers per y_mid row:
+    #   smalls (w <= HUB_W) — column-major in the per-(class, bin)
+    #     segment's (H x 128) grid with H >= max(ceil(cells/128),
+    #     ceil(wmax/CPR)): a run puts at most CPR cells on one row, so
+    #     the level-2 gather pays at most CPR subop layers for the
+    #     same-(source row, dest lane) conflict.
+    #   hubs (w > HUB_W) — one DEDICATED row each: all w cells at lanes
+    #     0..w-1, fixg chunks fully packed; the engine lane-⊕-folds hub
+    #     rows (hub_mask) before fix2, which then reads ONE cell per hub
+    #     at its destination lane — no conflicts, no wasted rows. (A
+    #     shared-H layout sized by a hub's w spreads every cell of the
+    #     segment H rows thin: 16x fixg padding at scale 16.)
+    d_run = np.maximum(1, -(-cnt_run // (STRIPE * LANES)))
+    w_run = -(-cnt_run // (STRIPE * d_run))          # <= 128 cells
+    assert int(w_run.max(initial=0)) <= LANES
+    HUB_W = 16
+    CPR = 4                                          # small cells/row cap
+    is_hub = w_run > HUB_W
+    cls_run = np.zeros(nrun, dtype=np.int64)
+    big = d_run > 1
+    cls_run[big] = np.int64(1) + np.floor(
+        np.log2(d_run[big] - 1)).astype(np.int64)    # ceil(log2(d))
+    run_bin = (er_ * NDIG + ed1_)[run_starts]
+    ro2 = np.lexsort((np.arange(nrun), run_bin, cls_run))
+    w_o = w_run[ro2]
+    hub_o = is_hub[ro2]
+    cls_o = cls_run[ro2]
+    bin_o = run_bin[ro2]
+    # segments never span a (class, bin) boundary: a chunk then reads
+    # only its own bin's stripes, bounding the gather's window count
+    seg_chg = np.ones(nrun, dtype=bool)
+    seg_chg[1:] = (cls_o[1:] != cls_o[:-1]) | (bin_o[1:] != bin_o[:-1])
+    seg_id_o = np.cumsum(seg_chg) - 1
+    nseg = int(seg_id_o[-1]) + 1 if nrun else 0
+    ws_o = np.where(hub_o, 0, w_o)                   # small cells only
+    seg_cells = np.bincount(seg_id_o, weights=ws_o,
+                            minlength=max(nseg, 1)).astype(np.int64)
+    seg_wmax = np.zeros(max(nseg, 1), dtype=np.int64)
+    np.maximum.at(seg_wmax, seg_id_o, ws_o)
+    seg_nhub = np.bincount(seg_id_o, weights=hub_o,
+                           minlength=max(nseg, 1)).astype(np.int64)
+    seg_Hs = np.where(seg_cells > 0,
+                      np.maximum(-(-seg_cells // LANES),
+                                 -(-seg_wmax // CPR)), 0)
+    seg_H = seg_Hs + seg_nhub          # shared rows then 1 row per hub
+    seg_row0 = np.cumsum(seg_H) - seg_H
+    nrb = int(seg_H.sum()) if nrun else 0
+    # small-cell enumeration (segment-local, column-major over shared
+    # rows): cell k -> row k % Hs, lane k // Hs
+    cws = np.cumsum(ws_o)
+    cell0_o = cws - ws_o
+    seg_rep = np.diff(np.concatenate([np.flatnonzero(seg_chg), [nrun]]))
+    seg_cell0 = np.repeat(cell0_o[seg_chg], seg_rep)
+    ck_o = cell0_o - seg_cell0                       # first small cell
+    # hub enumeration (segment-local)
+    chub = np.cumsum(hub_o.astype(np.int64))
+    hub0_o = chub - hub_o
+    seg_hub0 = np.repeat(hub0_o[seg_chg], seg_rep)
+    hk_o = hub0_o - seg_hub0                         # hub index in segment
+    run_H = np.maximum(seg_Hs[seg_id_o], 1)
+    run_row0 = seg_row0[seg_id_o]
+    run_hrow = run_row0 + seg_Hs[seg_id_o] + hk_o    # hub's dedicated row
+    # y_mid row depth = max d of cells on the row
+    occ_run_o = np.repeat(np.arange(nrun), w_o)      # in ro2 order
+    occ_k = np.where(hub_o, 0, ck_o)[occ_run_o] + _concat_ranges(w_o)
+    occ_hub = hub_o[occ_run_o]
+    occ_row = np.where(occ_hub, run_hrow[occ_run_o],
+                       run_row0[occ_run_o] + occ_k % run_H[occ_run_o])
+    occ_lane = np.where(occ_hub, occ_k, occ_k // run_H[occ_run_o])
+    assert int(occ_lane.max(initial=0)) < LANES
+    dgrp = np.zeros(max(nrb, 1), dtype=np.int64)
+    np.maximum.at(dgrp, occ_row, d_run[ro2][occ_run_o])
+    ch0 = np.cumsum(dgrp) - dgrp
+    nchunks = int(dgrp.sum()) if nrun else 1
+    hub_mask = np.zeros(max(nrb, 1), dtype=bool)
+    hub_mask[run_hrow[hub_o]] = True
+    # scatter run fields back to run order
+    inv2 = np.empty(nrun, dtype=np.int64)
+    inv2[ro2] = np.arange(nrun)
+    run_ck = ck_o[inv2]
+    rH = run_H[inv2]
+    rrow0 = run_row0[inv2]
+    rhrow = run_hrow[inv2]
+    # per-edge positions: deal ranks across cells, chunk-major depth
+    t_in = np.arange(E) - np.repeat(run_starts, cnt_run)
+    Wl = w_run[lid]
+    cell_k = t_in % Wl                               # cell within run
+    within = t_in // Wl                              # < 8*d_run
+    ehub = is_hub[lid]
+    grow = np.where(ehub, rhrow[lid],
+                    rrow0[lid] + (run_ck[lid] + cell_k) % rH[lid])
+    lanecol = np.where(ehub, cell_k,
+                       (run_ck[lid] + cell_k) // rH[lid])
+    chunk_id = ch0[grow] + within // STRIPE
+    dst = (chunk_id * STRIPE + within % STRIPE) * LANES + lanecol
     src_of_fix = np.full(nchunks * STRIPE * LANES, -1, dtype=np.int64)
     src_of_fix[dst] = s1_pos[o6]
     s1_rows = pa_panels * PROWS
-    fixg = build_gather_plan(s1_rows, nchunks * STRIPE, src_of_fix)
-    fix_dst = np.zeros(nchunks, dtype=np.int32)
-    rb_blk = (rb_key[np.flatnonzero(rchg)] // (nreg + 1)) if E else \
-        np.zeros(1, np.int64)
-    if nrb:
-        # y_mid row per (block, region) group
-        fix_dst = np.repeat(np.arange(nrb), depth_rb).astype(np.int32)
+    fix_dst = np.repeat(np.arange(max(nrb, 1)),
+                        dgrp).astype(np.int32)[:nchunks]
+    if fix_dst.size < nchunks:        # nrun==0 degenerate
+        fix_dst = np.zeros(nchunks, dtype=np.int32)
+    fixg, fix_dst = _gather_with_spill(s1_rows, src_of_fix, fix_dst)
 
-    # second level: y_mid (nrb,128) lane-columns -> (block, lr)
+    # second level: y_mid (nrb,128) lane-column cells -> (block, lr);
+    # the (block, lr) identity is per cell (a y_mid row mixes blocks).
+    # Hub rows enter as ONE cell at the destination lane — the engine's
+    # pre-fix2 lane fold has already collapsed the whole row into every
+    # lane's slot.
     nrb1 = max(nrb, 1)
-    mid_used = np.zeros((nrb1, LANES), dtype=np.int64) - 1
-    mid_used[rid, lanecol] = e_row[o6] % LANES
-    mid_blk = np.zeros(nrb1, dtype=np.int64)
-    mid_blk[rid] = e_blk[o6]
-    occ2 = np.argwhere(mid_used >= 0)
-    r2, l2 = occ2[:, 0], occ2[:, 1]
-    b2 = mid_blk[r2]
-    lr2 = mid_used[r2, l2]
+    sm = ~occ_hub
+    hubs_r = np.flatnonzero(hub_o)
+    r2 = np.concatenate([occ_row[sm], run_hrow[hubs_r]])
+    b2_all = run_blk[ro2][occ_run_o]
+    lr2_all = run_lr[ro2][occ_run_o]
+    l2 = np.concatenate([occ_lane[sm], run_lr[ro2][hubs_r]])
+    b2 = np.concatenate([b2_all[sm], run_blk[ro2][hubs_r]])
+    lr2 = np.concatenate([lr2_all[sm], run_lr[ro2][hubs_r]])
     o7 = np.lexsort((l2, r2, lr2, b2))
     key7 = (b2[o7] * np.int64(LANES) + lr2[o7])
     k7chg = np.concatenate([[True], key7[1:] != key7[:-1]])
@@ -905,11 +1041,11 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     src7 = np.full(nch7 * STRIPE * LANES, -1, dtype=np.int64)
     src7[dst7] = r2[o7] * LANES + l2[o7]
     nblocks8 = -(-nrb1 // STRIPE) * STRIPE
-    fix2g = build_gather_plan(nblocks8, nch7 * STRIPE, src7)
     fix2_dst = np.zeros(nch7, dtype=np.int32)
     if nb7:
         blk_of7 = b2[o7][np.flatnonzero(b7chg)]
         fix2_dst = np.repeat(blk_of7, dep7).astype(np.int32)
+    fix2g, fix2_dst = _gather_with_spill(nblocks8, src7, fix2_dst)
 
     # ---- mexp: compact y -> dense rows (v2 gather)
     dense_rows = -(-(-(-dense_len // LANES)) // STRIPE) * STRIPE
@@ -927,8 +1063,8 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
         xext_rows=xext_rows, exp_panels=exp_panels, pa_panels=pa_panels,
         pa_nwin=NWIN, exp_route=exp_route, pa_route=pa_route,
         pa_bases=pa_bases, w_stream=w_stream, fix_dst=fix_dst,
-        fix2_dst=fix2_dst, xext=xext_plan, fixg=fixg, fix2g=fix2g,
-        mexp=mexp_plan, dense_rows=dense_rows)
+        fix2_dst=fix2_dst, hub_mask=hub_mask, xext=xext_plan, fixg=fixg,
+        fix2g=fix2g, mexp=mexp_plan, dense_rows=dense_rows)
 
 
 def simulate_spmv3(plan: Spmv3Plan, x: np.ndarray, fill, reduce_kind="sum",
@@ -970,6 +1106,13 @@ def simulate_spmv3(plan: Spmv3Plan, x: np.ndarray, fill, reduce_kind="sum",
 
     nb_raw = (plan.fix_dst.max() + 1) if plan.fix_dst.size else 1
     y_mid = chunked_fold(s1, plan.fixg, plan.fix_dst, int(nb_raw))
+    # hub rows: lane-⊕-fold the whole row into every lane before fix2
+    hm = plan.hub_mask
+    if hm.size and hm.any():
+        hmp = np.zeros(y_mid.shape[0], dtype=bool)
+        hmp[:min(hm.size, y_mid.shape[0])] = hm[:y_mid.shape[0]]
+        folded = red.reduce(y_mid, axis=1, keepdims=True)
+        y_mid = np.where(hmp[:, None], folded, y_mid)
     y_mid8 = np.full((-(-y_mid.shape[0] // STRIPE) * STRIPE, LANES), fill,
                      y_mid.dtype)
     y_mid8[:y_mid.shape[0]] = y_mid

@@ -104,6 +104,27 @@ def load_spmv2_meta(path: str):
     return Spmv2Meta(arrays=arrays, **meta)
 
 
+# -------------------------------------------------------------- Spmv3Meta
+_S3_SCALARS = ("NC", "nblocks", "dense_rows", "exp_panels", "pa_panels",
+               "pa_nwin", "fix_chunks", "fix2_chunks", "nrb", "xext_rows",
+               "has_w", "nsub", "out_rows", "src_rows")
+
+
+def save_spmv3_meta(m, path: str) -> None:
+    meta = {k: getattr(m, k) for k in _S3_SCALARS}
+    arrays = dict(m.arrays)
+    arrays[_META] = _pack_meta(meta)
+    np.savez(path, **arrays)
+
+
+def load_spmv3_meta(path: str):
+    from graphtap_tpu.kernels.panel_engine import Spmv3Meta
+    with np.load(path) as z:
+        meta = _unpack_meta(z[_META])
+        arrays = {k: z[k] for k in z.files if k != _META}
+    return Spmv3Meta(arrays=arrays, **meta)
+
+
 # ------------------------------------------------------------- edge lists
 def cached_rmat(scale: int, edge_factor: int, seed: int,
                 cache_dir: str, weighted: bool = False):
