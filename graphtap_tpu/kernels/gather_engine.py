@@ -55,7 +55,8 @@ class Spmv2Meta:
 def _pad_gather_plan(g: GatherPlan, nsteps: int, nsub: int,
                      src_rows: int) -> GatherPlan:
     """Pad one device's plan to the mesh-common (nsteps, nsub)."""
-    gn = g.out_rows // SUB
+    br = g.block_rows
+    gn = g.out_rows // br
     wsel = g.wsel.reshape(gn, g.nsub)
     if nsub > g.nsub:
         wsel = np.concatenate(
@@ -72,16 +73,16 @@ def _pad_gather_plan(g: GatherPlan, nsteps: int, nsub: int,
             [cidx, np.zeros((nsteps - gn, nsub, SUB, LANES), np.int8)], axis=0)
         nact = np.concatenate([g.nact, np.zeros(nsteps - gn, np.int32)])
         meta = np.concatenate(
-            [g.meta, np.full((nsteps - gn, SUB, LANES), SID_INVALID << 3,
+            [g.meta, np.full((nsteps - gn, br, LANES), SID_INVALID << 3,
                              np.uint8)], axis=0)
         src_of = np.concatenate(
-            [g.src_of, np.full((nsteps - gn) * SUB * LANES, -1, np.int64)])
+            [g.src_of, np.full((nsteps - gn) * br * LANES, -1, np.int64)])
     else:
         nact, meta, src_of = g.nact, g.meta, g.src_of
-    return GatherPlan(out_rows=nsteps * SUB, nsub=nsub, src_rows=src_rows,
+    return GatherPlan(out_rows=nsteps * br, nsub=nsub, src_rows=src_rows,
                       wsel=wsel.reshape(-1), nact=nact,
                       cidx=cidx.reshape(nsteps * nsub, SUB, LANES),
-                      meta=meta, src_of=src_of)
+                      meta=meta, src_of=src_of, block_rows=br)
 
 
 def build_spmv2_meta(tiles: TileSet, value_dtype=np.float32,

@@ -125,6 +125,94 @@ def windowed_gather(src2d, wsel, nact, cidx, meta, weights, fill,
     return jnp.concatenate(outs, axis=0)
 
 
+BLK64 = 64
+SEG_STEPS64 = 1024   # 64-row steps per pallas_call (wsel prefetch budget)
+
+
+def _wg64_body(nsub, fill, wsel_ref, nact_ref, src_ref, cidx_ref, meta_ref,
+               out_ref):
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        out_ref[...] = jnp.full_like(out_ref, fill)
+
+    @pl.when(s < nact_ref[i])
+    def _():
+        c32 = cidx_ref[0].astype(jnp.int32)               # (8,128)
+        u = jnp.take_along_axis(src_ref[...], c32, axis=1)
+        meta32 = meta_ref[0].astype(jnp.int32)            # (64,128)
+        sid = meta32 >> 3
+        j = meta32 & 7
+        for b in range(BLK64 // SUB):
+            jb = j[b * SUB:(b + 1) * SUB, :]
+            g = jnp.take_along_axis(u, jb, axis=0)
+            out_ref[b * SUB:(b + 1) * SUB, :] = jnp.where(
+                sid[b * SUB:(b + 1) * SUB, :] == s, g,
+                out_ref[b * SUB:(b + 1) * SUB, :])
+
+
+def windowed_gather64(src2d, wsel, nact, cidx, meta, fill,
+                      out_rows: int, nsub: int, interpret: bool = False):
+    """64-row-block variant of windowed_gather: each (8,128) source window
+    is fetched ONCE per 64-row output block and consumed by all 8 bands —
+    8x less window DMA per output slot than the 8-row kernel, which is
+    what the fold-stage gathers (many windows per step) need to stream at
+    HBM rate. Plans come from build_gather_plan(block_rows=64)."""
+    nsteps = out_rows // BLK64
+    if nsteps <= SEG_STEPS64:
+        return _wg64_call(src2d, wsel, nact, cidx, meta, fill, out_rows,
+                          nsub, interpret)
+    assert nsteps % SEG_STEPS64 == 0, (nsteps, SEG_STEPS64)
+    outs = []
+    for q in range(nsteps // SEG_STEPS64):
+        s0 = q * SEG_STEPS64
+        outs.append(_wg64_call(
+            src2d,
+            jax.lax.dynamic_slice_in_dim(wsel, s0 * nsub,
+                                         SEG_STEPS64 * nsub),
+            jax.lax.dynamic_slice_in_dim(nact, s0, SEG_STEPS64),
+            jax.lax.dynamic_slice_in_dim(cidx, s0 * nsub,
+                                         SEG_STEPS64 * nsub),
+            jax.lax.dynamic_slice_in_dim(meta, s0, SEG_STEPS64),
+            fill, SEG_STEPS64 * BLK64, nsub, interpret))
+    return jnp.concatenate(outs, axis=0)
+
+
+def seg_round_rows64(rows: int) -> int:
+    """Round a windowed_gather64 out_rows to the segmented driver's
+    contract (multiple of 64; multiple of 64*SEG_STEPS64 when larger)."""
+    steps = -(-rows // BLK64)
+    if steps > SEG_STEPS64:
+        steps = -(-steps // SEG_STEPS64) * SEG_STEPS64
+    return steps * BLK64
+
+
+def _wg64_call(src2d, wsel, nact, cidx, meta, fill, out_rows: int,
+               nsub: int, interpret: bool = False):
+    nsteps = out_rows // BLK64
+    kern = functools.partial(_wg64_body, nsub, fill)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nsteps, nsub),
+        in_specs=[
+            pl.BlockSpec((SUB, LANES),
+                         lambda i, s, w, n: (w[i * nsub + s], 0)),
+            pl.BlockSpec((1, SUB, LANES),
+                         lambda i, s, w, n: (i * nsub + s, 0, 0)),
+            pl.BlockSpec((1, BLK64, LANES), lambda i, s, w, n: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((BLK64, LANES), lambda i, s, w, n: (i, 0)),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_rows, LANES), src2d.dtype),
+        interpret=interpret,
+    )(wsel, nact, src2d, cidx, meta)
+
+
 def _windowed_gather_call(src2d, wsel, nact, cidx, meta, weights, fill,
                           out_rows: int, nsub: int, mul_kind: str = "none",
                           interpret: bool = False):

@@ -51,12 +51,14 @@ class GatherPlan:
     wsel: np.ndarray        # (nsteps*nsub,) int32
     nact: np.ndarray        # (nsteps,) int32
     cidx: np.ndarray        # (nsteps*nsub, 8, 128) int8
-    meta: np.ndarray        # (nsteps, 8, 128) uint8
+    meta: np.ndarray        # (nsteps, block_rows, 128) uint8
     src_of: np.ndarray      # (out_rows*128,) int64 simulation (-1 = hole)
+    block_rows: int = SUB   # output rows per step (8 or 64)
 
 
 def build_gather_plan(src_rows: int, out_rows: int,
-                      src_of: np.ndarray, spill: Optional[int] = None):
+                      src_of: np.ndarray, spill: Optional[int] = None,
+                      block_rows: int = SUB):
     """Compile an arbitrary static gather into the windowed-gather format.
 
     ``src_of[p]`` = linear source slot (row*128+lane) feeding output slot
@@ -70,14 +72,19 @@ def build_gather_plan(src_rows: int, out_rows: int,
     ``bad_pos`` are the linear output slots whose subop id is >= K — the
     caller relocates them (chunked-fold callers append duplicate chunks
     with the same destination row) and retries.
+
+    ``block_rows``: output rows per gather step. 8 = the classic
+    windowed_gather; 64 = windowed_gather64, which amortizes each window
+    fetch over 8192 output slots (8x cheaper window DMA per slot, at the
+    price of a conflict key shared across the whole block).
     """
-    assert out_rows % SUB == 0 and src_rows % SUB == 0
-    nsteps = out_rows // SUB
+    assert out_rows % block_rows == 0 and src_rows % SUB == 0
+    nsteps = out_rows // block_rows
     src_of = np.asarray(src_of, np.int64)
     pos = np.flatnonzero(src_of >= 0)
     sp = src_of[pos]
-    step = pos // STEP_EL
-    ri = (pos // LANES) % SUB
+    step = pos // (block_rows * LANES)
+    ri = (pos // LANES) % block_rows
     l = pos % LANES
     r = sp // LANES
     cl = sp % LANES
@@ -137,7 +144,8 @@ def build_gather_plan(src_rows: int, out_rows: int,
 
     wsel = np.zeros(nsteps * nsub, dtype=np.int32)
     cidx = np.zeros((nsteps * nsub, SUB, LANES), dtype=np.int8)
-    meta = np.full((nsteps, SUB, LANES), SID_INVALID << 3, dtype=np.uint8)
+    meta = np.full((nsteps, block_rows, LANES), SID_INVALID << 3,
+                   dtype=np.uint8)
 
     flat_sub = step * nsub + sid_e
     wsel_set = np.zeros(nsteps * nsub, dtype=bool)
@@ -152,7 +160,7 @@ def build_gather_plan(src_rows: int, out_rows: int,
     meta[step, ri, l] = (j_e | (sid_e << 3)).astype(np.uint8)
     return GatherPlan(out_rows=out_rows, nsub=nsub, src_rows=src_rows,
                       wsel=wsel, nact=nact, cidx=cidx, meta=meta,
-                      src_of=src_of)
+                      src_of=src_of, block_rows=block_rows)
 
 
 def _pack_steps(bchg: np.ndarray, boundaries: np.ndarray,

@@ -29,7 +29,10 @@ from graphtap_tpu.kernels.panel_plan import (Spmv3Plan, build_spmv3_plan,
 from graphtap_tpu.kernels.panel_kernels import (route_expand, route_passa,
                                                 colsum_chunks)
 from graphtap_tpu.kernels.gather_engine import _pad_gather_plan
-from graphtap_tpu.kernels.gather_kernels import windowed_gather, seg_round_rows
+from graphtap_tpu.kernels.gather_kernels import (windowed_gather,
+                                                 windowed_gather64,
+                                                 seg_round_rows,
+                                                 seg_round_rows64)
 
 
 @dataclass
@@ -108,8 +111,9 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
         int(mh.global_max(max(p.dense_rows for p in plans))))
     # every windowed_gather out_rows must satisfy the segmented driver's
     # SEG_STEPS contract (gather_kernels.seg_round_rows); pad chunks fold
-    # into the scratch rows / truncate away, so rounding up is free
-    fix_chunks = seg_round_rows(fix_chunks * STRIPE) // STRIPE
+    # into the scratch rows / truncate away, so rounding up is free.
+    # fixg runs on the 64-row-block kernel (8x less window DMA).
+    fix_chunks = seg_round_rows64(fix_chunks * STRIPE) // STRIPE
     fix2_chunks = seg_round_rows(fix2_chunks * STRIPE) // STRIPE
     xext_rows = exp_panels * XROWS
     has_w = tiles.weights is not None
@@ -132,7 +136,7 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
     for b, p in enumerate(plans):
         for k in ("xext", "fixg", "fix2g", "mexp"):
             g = getattr(p, k)
-            gp = _pad_gather_plan(g, out_rows[k] // STRIPE, nsub[k],
+            gp = _pad_gather_plan(g, out_rows[k] // g.block_rows, nsub[k],
                                   src_rows[k])
             arrs.setdefault(f"{k}_wsel", []).append(gp.wsel)
             arrs.setdefault(f"{k}_nact", []).append(gp.nact)
@@ -201,10 +205,10 @@ def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
         s0p, t["pa_bases"], t["pa_idx1"], t["pa_sela"], t["pa_selb"],
         t["pa_idx3"], fill, meta.pa_panels, meta.pa_nwin,
         interpret=interpret)
-    stack1 = windowed_gather(
+    stack1 = windowed_gather64(
         s1, t["fixg_wsel"], t["fixg_nact"], t["fixg_cidx"],
-        t["fixg_meta"], None, fill, meta.out_rows["fixg"],
-        meta.nsub["fixg"], mul_kind="none", interpret=interpret)
+        t["fixg_meta"], fill, meta.out_rows["fixg"],
+        meta.nsub["fixg"], interpret=interpret)
     y_mid = colsum_chunks(stack1, t["fix_dst"], meta.nrb,
                           semiring.reduce_kind, fill, interpret=interpret)
     # hub rows (one dedicated y_mid row per hub run): lane-⊕-fold the row

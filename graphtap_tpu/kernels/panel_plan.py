@@ -461,17 +461,27 @@ SPILL_CAP = 22     # subop budget per windowed-gather step before spilling
 
 
 def _gather_with_spill(src_rows: int, src_of: np.ndarray,
-                       dst_chunk: np.ndarray, cap: int = SPILL_CAP):
+                       dst_chunk: np.ndarray, cap: int = SPILL_CAP,
+                       block_rows: int = STRIPE):
     """build_gather_plan for a chunked-fold stage, relocating slots of
     over-budget steps into fresh chunks with the SAME fold destination
     (the ⊕-fold accumulates duplicate chunks, so spilling is free).
-    Returns (GatherPlan, extended dst_chunk)."""
+    Returns (GatherPlan, extended dst_chunk). ``block_rows=64`` targets
+    windowed_gather64 (all-fill pad chunks align the output to blocks;
+    they fold the ⊕-identity into row 0, a no-op)."""
     from graphtap_tpu.kernels.gather_plan import build_gather_plan
     src_of = np.asarray(src_of, np.int64).copy()
     dst_chunk = np.asarray(dst_chunk, np.int32)
+    cpb = block_rows // STRIPE
     for _ in range(16):
+        if dst_chunk.size % cpb:
+            pad = cpb - dst_chunk.size % cpb
+            src_of = np.concatenate(
+                [src_of, np.full(pad * STRIPE * LANES, -1, np.int64)])
+            dst_chunk = np.concatenate(
+                [dst_chunk, np.zeros(pad, np.int32)])
         res = build_gather_plan(src_rows, dst_chunk.size * STRIPE, src_of,
-                                spill=cap)
+                                spill=cap, block_rows=block_rows)
         if not (isinstance(res, tuple) and res[0] == "spill"):
             return res, dst_chunk
         bad_pos = res[1]
@@ -855,8 +865,9 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     pan_reg = np.array([m_[0] * NDIG + m_[1] for m_ in pan_meta],
                        dtype=np.int64) if pan_meta else np.zeros(1, np.int64)
     if E == 0:
-        fixg = build_gather_plan(pa_panels * PROWS, STRIPE,
-                                 np.full(STRIPE * LANES, -1, np.int64))
+        fixg = build_gather_plan(pa_panels * PROWS, PROWS,
+                                 np.full(PROWS * LANES, -1, np.int64),
+                                 block_rows=PROWS)
         fix2g = build_gather_plan(STRIPE, STRIPE,
                                   np.full(STRIPE * LANES, -1, np.int64))
         dense_rows0 = -(-(-(-dense_len // LANES)) // STRIPE) * STRIPE
@@ -1006,7 +1017,8 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
                         dgrp).astype(np.int32)[:nchunks]
     if fix_dst.size < nchunks:        # nrun==0 degenerate
         fix_dst = np.zeros(nchunks, dtype=np.int32)
-    fixg, fix_dst = _gather_with_spill(s1_rows, src_of_fix, fix_dst)
+    fixg, fix_dst = _gather_with_spill(s1_rows, src_of_fix, fix_dst,
+                                       block_rows=PROWS)
 
     # second level: y_mid (nrb,128) lane-column cells -> (block, lr);
     # the (block, lr) identity is per cell (a y_mid row mixes blocks).
