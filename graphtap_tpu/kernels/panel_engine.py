@@ -44,12 +44,13 @@ class Spmv3Meta:
     exp_panels: int
     pa_panels: int
     pa_nwin: int
-    fix_chunks: int
+    fix_panels: int         # fix-route panels (8 chunks each)
+    fixr_nwin: int
     fix2_chunks: int
     nrb: int                # y_mid rows (padded to 8, + 8 scratch)
     xext_rows: int
     has_w: bool
-    nsub: Dict[str, int]    # v2-gather stages: xext, fixg, mexp
+    nsub: Dict[str, int]    # v2-gather stages: xext, fix2g, mexp
     out_rows: Dict[str, int]
     src_rows: Dict[str, int]
     arrays: Dict[str, np.ndarray]
@@ -58,6 +59,22 @@ class Spmv3Meta:
         from graphtap_tpu.parallel.multihost import put_device_stacked
         return {k: put_device_stacked(a, mesh)
                 for k, a in self.arrays.items()}
+
+
+def _pad_route_nwin(rt: RoutePlan, npanels: int, old_nwin: int,
+                    new_nwin: int) -> RoutePlan:
+    """Extend a fix-route's per-panel window count: append zero idx1 rows
+    for the extra (unreferenced) window bands."""
+    if old_nwin == new_nwin:
+        return rt
+    sr_old = old_nwin * STRIPE
+    sr_new = new_nwin * STRIPE
+    idx1 = rt.idx1.reshape(npanels, sr_old, LANES)
+    idx1 = np.concatenate(
+        [idx1, np.zeros((npanels, sr_new - sr_old, LANES), np.int8)],
+        axis=1)
+    return RoutePlan(idx1=idx1.reshape(-1, LANES), sel_a=rt.sel_a,
+                     sel_b=rt.sel_b, idx3=rt.idx3, src_rows=sr_new)
 
 
 def _pad_route(rt: RoutePlan, npanels: int, tgt: int) -> RoutePlan:
@@ -100,7 +117,8 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
     nwin = p0.pa_nwin
     exp_panels = int(mh.global_max(max(p.exp_panels for p in plans)))
     pa_panels = int(mh.global_max(max(p.pa_panels for p in plans)))
-    fix_chunks = int(mh.global_max(max(p.fix_dst.size for p in plans)))
+    fix_panels = int(mh.global_max(max(p.fix_panels for p in plans)))
+    fixr_nwin = int(mh.global_max(max(p.fixr_nwin for p in plans)))
     fix2_chunks = int(mh.global_max(max(p.fix2_dst.size for p in plans)))
     nrb = int(mh.global_max(max(
         (int(p.fix_dst.max()) + 1 if p.fix_dst.size else 1)
@@ -112,8 +130,6 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
     # every windowed_gather out_rows must satisfy the segmented driver's
     # SEG_STEPS contract (gather_kernels.seg_round_rows); pad chunks fold
     # into the scratch rows / truncate away, so rounding up is free.
-    # fixg runs on the 64-row-block kernel (8x less window DMA).
-    fix_chunks = seg_round_rows64(fix_chunks * STRIPE) // STRIPE
     fix2_chunks = seg_round_rows(fix2_chunks * STRIPE) // STRIPE
     xext_rows = exp_panels * XROWS
     has_w = tiles.weights is not None
@@ -124,7 +140,6 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
     src_rows = {}
     sx = -(-(-(-NC // LANES)) // STRIPE) * STRIPE
     for k, sr_, orows in (("xext", sx, seg_round_rows(xext_rows)),
-                          ("fixg", pa_panels * PROWS, fix_chunks * STRIPE),
                           ("fix2g", nrb, fix2_chunks * STRIPE),
                           ("mexp", nblocks, dense_rows)):
         gs = [getattr(p, k) for p in plans]
@@ -134,7 +149,7 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
 
     arrs: Dict[str, List[np.ndarray]] = {}
     for b, p in enumerate(plans):
-        for k in ("xext", "fixg", "fix2g", "mexp"):
+        for k in ("xext", "fix2g", "mexp"):
             g = getattr(p, k)
             gp = _pad_gather_plan(g, out_rows[k] // g.block_rows, nsub[k],
                                   src_rows[k])
@@ -144,7 +159,11 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
             arrs.setdefault(f"{k}_meta", []).append(gp.meta)
         er = _pad_route(p.exp_route, p.exp_panels, exp_panels)
         pr = _pad_route(p.pa_route, p.pa_panels, pa_panels)
-        for nm, rt in (("exp", er), ("pa", pr)):
+        fr = _pad_route(
+            _pad_route_nwin(p.fixr_route, p.fix_panels, p.fixr_nwin,
+                            fixr_nwin),
+            p.fix_panels, fix_panels)
+        for nm, rt in (("exp", er), ("pa", pr), ("fixr", fr)):
             arrs.setdefault(f"{nm}_idx1", []).append(rt.idx1)
             arrs.setdefault(f"{nm}_sela", []).append(rt.sel_a)
             arrs.setdefault(f"{nm}_selb", []).append(rt.sel_b)
@@ -152,8 +171,17 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
         bases = np.full(pa_panels * nwin, exp_panels * 8, np.int32)
         bases[:p.pa_bases.size] = p.pa_bases
         arrs.setdefault("pa_bases", []).append(bases)
+        # fixr bases: pad nwin columns and panels with the fill block,
+        # rebasing the device-local fill id to the mesh-global one (the
+        # fill block's CONTENT must be the ⊕-identity here)
+        gfill = pa_panels * STRIPE
+        fb = np.full((fix_panels, fixr_nwin), gfill, np.int32)
+        lb = p.fixr_bases.reshape(p.fix_panels, p.fixr_nwin)
+        fb[:p.fix_panels, :p.fixr_nwin] = np.where(
+            lb >= p.pa_panels * STRIPE, gfill, lb)
+        arrs.setdefault("fixr_bases", []).append(fb.reshape(-1))
         # pad chunks fold into the scratch row blocks
-        fd = np.full(fix_chunks, nrb - STRIPE, np.int32)
+        fd = np.full(fix_panels * STRIPE, nrb - STRIPE, np.int32)
         fd[:p.fix_dst.size] = p.fix_dst
         arrs.setdefault("fix_dst", []).append(fd)
         hm = np.zeros(nrb, dtype=np.int8)
@@ -172,7 +200,8 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
     arrays = {k: np.stack(v) for k, v in arrs.items()}
     return Spmv3Meta(NC=NC, nblocks=nblocks, dense_rows=dense_rows,
                      exp_panels=exp_panels, pa_panels=pa_panels,
-                     pa_nwin=nwin, fix_chunks=fix_chunks,
+                     pa_nwin=nwin, fix_panels=fix_panels,
+                     fixr_nwin=fixr_nwin,
                      fix2_chunks=fix2_chunks, nrb=nrb,
                      xext_rows=xext_rows, has_w=has_w, nsub=nsub,
                      out_rows=out_rows, src_rows=src_rows, arrays=arrays)
@@ -205,10 +234,12 @@ def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
         s0p, t["pa_bases"], t["pa_idx1"], t["pa_sela"], t["pa_selb"],
         t["pa_idx3"], fill, meta.pa_panels, meta.pa_nwin,
         interpret=interpret)
-    stack1 = windowed_gather64(
-        s1, t["fixg_wsel"], t["fixg_nact"], t["fixg_cidx"],
-        t["fixg_meta"], fill, meta.out_rows["fixg"],
-        meta.nsub["fixg"], interpret=interpret)
+    s1f = jnp.concatenate(
+        [s1, jnp.full((STRIPE, LANES), fill, s1.dtype)], axis=0)
+    stack1 = route_passa(
+        s1f, t["fixr_bases"], t["fixr_idx1"], t["fixr_sela"],
+        t["fixr_selb"], t["fixr_idx3"], fill, meta.fix_panels,
+        meta.fixr_nwin, interpret=interpret)
     y_mid = colsum_chunks(stack1, t["fix_dst"], meta.nrb,
                           semiring.reduce_kind, fill, interpret=interpret)
     # hub rows (one dedicated y_mid row per hub run): lane-⊕-fold the row

@@ -444,7 +444,7 @@ def simulate_route(plan: RoutePlan, v: np.ndarray, npanels: int
 
     def wlayer(sel):
         sel = sel.reshape(npanels, PROWS, LANES).astype(np.int64)
-        srcrow = (sel & 7) + ((sel >> 3) & 15) * STRIPE
+        srcrow = (sel & 7) + ((sel >> 3) & 31) * STRIPE
         return np.take_along_axis(u, np.minimum(srcrow, sr - 1), axis=1)
 
     w_a = wlayer(plan.sel_a)
@@ -541,9 +541,13 @@ class Spmv3Plan:
     fix2_dst: np.ndarray   # (fix2_chunks,) int32 compact-y row per chunk
     hub_mask: np.ndarray   # (y_mid rows,) bool — rows lane-⊕-folded
                            # before the level-2 gather (hub runs)
+    # fix route (s1 -> chunk-stack panels, pass-A kernel)
+    fixr_route: RoutePlan
+    fixr_bases: np.ndarray  # (fix_panels * fixr_nwin,) int32 s1 blocks
+    fixr_nwin: int
+    fix_panels: int
     # v2 gather plans (windowed_gather) for the small stages
     xext: "object"         # x -> x_ext
-    fixg: "object"         # s1 -> stack1 (fix_chunks*8 rows)
     fix2g: "object"        # y_mid -> stack2 (fix2_chunks*8 rows)
     mexp: "object"         # y_compact -> dense
     dense_rows: int
@@ -865,9 +869,14 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     pan_reg = np.array([m_[0] * NDIG + m_[1] for m_ in pan_meta],
                        dtype=np.int64) if pan_meta else np.zeros(1, np.int64)
     if E == 0:
-        fixg = build_gather_plan(pa_panels * PROWS, PROWS,
-                                 np.full(PROWS * LANES, -1, np.int64),
-                                 block_rows=PROWS)
+        fill_b = pa_panels * NDIG
+        fr0, _r0, _l0 = _route_panels(
+            np.full(PSLOTS, (2 - 1) * STRIPE, np.int64),
+            np.tile(np.arange(LANES), STRIPE * STRIPE)[:PSLOTS],
+            np.repeat(np.arange(NDIG), STRIPE * LANES),
+            np.tile(np.arange(LANES), PROWS),
+            np.zeros(PSLOTS, np.int64), 1, 2 * STRIPE,
+            fill_from=(2 - 1) * STRIPE)
         fix2g = build_gather_plan(STRIPE, STRIPE,
                                   np.full(STRIPE * LANES, -1, np.int64))
         dense_rows0 = -(-(-(-dense_len // LANES)) // STRIPE) * STRIPE
@@ -878,9 +887,13 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
             xext_rows=xext_rows, exp_panels=exp_panels,
             pa_panels=pa_panels, pa_nwin=NWIN, exp_route=exp_route,
             pa_route=pa_route, pa_bases=pa_bases, w_stream=w_stream,
-            fix_dst=np.zeros(1, np.int32), fix2_dst=np.zeros(1, np.int32),
+            fix_dst=np.zeros(STRIPE, np.int32),
+            fix2_dst=np.zeros(1, np.int32),
             hub_mask=np.zeros(1, dtype=bool),
-            xext=xext_plan, fixg=fixg, fix2g=fix2g, mexp=mexp0,
+            fixr_route=fr0,
+            fixr_bases=np.full(2, fill_b, np.int32), fixr_nwin=2,
+            fix_panels=1,
+            xext=xext_plan, fix2g=fix2g, mexp=mexp0,
             dense_rows=dense_rows0)
     e_parow = _parows                      # actual routed rows (from pass A)
     s1_pos = e_pan * PSLOTS + e_parow * LANES + pa_lane
@@ -1009,16 +1022,116 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     lanecol = np.where(ehub, cell_k,
                        (run_ck[lid] + cell_k) // rH[lid])
     chunk_id = ch0[grow] + within // STRIPE
-    dst = (chunk_id * STRIPE + within % STRIPE) * LANES + lanecol
-    src_of_fix = np.full(nchunks * STRIPE * LANES, -1, dtype=np.int64)
-    src_of_fix[dst] = s1_pos[o6]
-    s1_rows = pa_panels * PROWS
     fix_dst = np.repeat(np.arange(max(nrb, 1)),
                         dgrp).astype(np.int32)[:nchunks]
     if fix_dst.size < nchunks:        # nrun==0 degenerate
         fix_dst = np.zeros(nchunks, dtype=np.int32)
-    fixg, fix_dst = _gather_with_spill(s1_rows, src_of_fix, fix_dst,
-                                       block_rows=PROWS)
+
+    # ---- fix route: route s1 into 64-row chunk-stack panels with the
+    # pass-A kernel instead of a windowed GATHER (whose per-step window
+    # DMAs cost nsub*4KB per 1024 slots and whose (window,row,lane)
+    # conflict key forces subop layers). Each window is fetched once per
+    # panel through its own revolving buffer and the 3-stage crossbar
+    # absorbs duplicate-key conflicts by construction. A slot's row
+    # within its chunk is free (the fold is a column-⊕), which is
+    # exactly the router's fixed-lane/free-row mode.
+    e_sblk = s1_pos[o6] // (STRIPE * LANES)       # source s1 block
+    fix_fill_blk = pa_panels * NDIG               # appended all-fill blk
+    CW = 30                                       # window budget
+    ch_e = chunk_id
+    # (a) split chunks whose slots span > CW windows
+    ek = ch_e * (np.int64(1) << 24) + e_sblk
+    o8 = np.argsort(ek, kind="stable")
+    eks = ek[o8]
+    wchg = np.ones(E, dtype=bool)
+    wchg[1:] = eks[1:] != eks[:-1]
+    cid8 = eks >> 24
+    cchg8 = np.ones(E, dtype=bool)
+    cchg8[1:] = cid8[1:] != cid8[:-1]
+    wr = np.cumsum(wchg) - 1
+    wr0 = np.repeat(wr[cchg8], np.diff(np.concatenate(
+        [np.flatnonzero(cchg8), [E]])))
+    wrank = wr - wr0                              # window rank in chunk
+    spl = wrank // CW
+    assert int(spl.max(initial=0)) < 60
+    newkey = np.where(spl > 0, cid8 * 60 + spl, np.int64(-1))
+    uq = np.unique(newkey[newkey >= 0])
+    ch_s = np.where(newkey >= 0,
+                    np.searchsorted(uq, np.maximum(newkey, 0)) + nchunks,
+                    cid8)
+    ch_e = np.empty(E, dtype=np.int64)
+    ch_e[o8] = ch_s
+    if uq.size:
+        fix_dst = np.concatenate(
+            [fix_dst, fix_dst[(uq // 60).astype(np.int64)]])
+    nchunks = fix_dst.size
+    # (b) pack chunks into panels: <= 8 chunks, window union <= CW
+    o9 = np.lexsort((e_sblk, ch_e))
+    pk = ch_e[o9] * (np.int64(1) << 24) + e_sblk[o9]
+    pchg = np.ones(E, dtype=bool)
+    pchg[1:] = pk[1:] != pk[:-1]
+    pr_c = ch_e[o9][pchg]                         # chunk of each pair
+    pr_w = e_sblk[o9][pchg]                       # window of each pair
+    pair_of_chunk = np.searchsorted(pr_c, np.arange(nchunks))
+    pair_end = np.searchsorted(pr_c, np.arange(nchunks), side="right")
+    pan_of_chunk = np.zeros(nchunks, dtype=np.int64)
+    stripe_of_chunk = np.zeros(nchunks, dtype=np.int64)
+    pan_wins: List[np.ndarray] = []
+    cur: set = set()
+    nin = 0
+    fp = 0
+    for cq in range(nchunks):
+        wins_c = pr_w[pair_of_chunk[cq]:pair_end[cq]]
+        u_ = cur | set(wins_c.tolist())
+        if nin == STRIPE or (nin and len(u_) > CW):
+            pan_wins.append(np.asarray(sorted(cur), np.int64))
+            fp += 1
+            cur = set(wins_c.tolist())
+            nin = 0
+        else:
+            cur = u_
+        pan_of_chunk[cq] = fp
+        stripe_of_chunk[cq] = nin
+        nin += 1
+    pan_wins.append(np.asarray(sorted(cur), np.int64))
+    fix_panels = fp + 1
+    fixr_nwin = max(2, max(w.size for w in pan_wins) + 1)  # + fill window
+    fixr_bases = np.full((fix_panels, fixr_nwin), fix_fill_blk, np.int32)
+    for p_ in range(fix_panels):
+        fixr_bases[p_, :pan_wins[p_].size] = pan_wins[p_]
+    # fix_dst re-ordered to (panel, stripe) chunk sequence, pad chunks -> 0
+    fd_panel = np.zeros(fix_panels * STRIPE, dtype=np.int32)
+    fd_panel[pan_of_chunk * STRIPE + stripe_of_chunk] = fix_dst[:nchunks]
+    fix_dst = fd_panel
+    # (c) per-slot route coordinates
+    e_fp = pan_of_chunk[ch_e]
+    e_fst = stripe_of_chunk[ch_e]
+    # window index within the panel's base list
+    e_widx = np.zeros(E, dtype=np.int64)
+    for p_ in range(fix_panels):
+        m_ = e_fp == p_
+        if m_.any():
+            e_widx[m_] = np.searchsorted(pan_wins[p_], e_sblk[m_])
+    f_sr = e_widx * STRIPE + (s1_pos[o6] // LANES) % STRIPE
+    f_sc = s1_pos[o6] % LANES
+    # phantoms fill the remaining (panel, stripe, lane) capacity
+    cnt_fl = np.bincount((e_fp * NDIG + e_fst) * LANES + lanecol,
+                         minlength=fix_panels * NDIG * LANES)
+    rem_f = (STRIPE - cnt_fl.reshape(-1, LANES))
+    assert rem_f.min() >= 0
+    phl_f = np.tile(np.arange(LANES), fix_panels * NDIG)
+    ph_lane_f = np.repeat(phl_f, rem_f.reshape(-1))
+    ps_f = np.repeat(np.arange(fix_panels * NDIG), rem_f.sum(axis=1))
+    kk_f = _concat_ranges(rem_f.sum(axis=1))
+    ph_src_f = (fixr_nwin - 1) * STRIPE * LANES + (kk_f % (STRIPE * LANES))
+    fr_sr = np.concatenate([f_sr, ph_src_f // LANES])
+    fr_sc = np.concatenate([f_sc, ph_src_f % LANES])
+    fr_st = np.concatenate([e_fst, ps_f % NDIG])
+    fr_dl = np.concatenate([lanecol, ph_lane_f])
+    fr_p = np.concatenate([e_fp, ps_f // NDIG])
+    fixr_route, _frrows, _frlanes = _route_panels(
+        fr_sr, fr_sc, fr_st, fr_dl, fr_p, fix_panels, fixr_nwin * STRIPE,
+        fill_from=(fixr_nwin - 1) * STRIPE)
 
     # second level: y_mid (nrb,128) lane-column cells -> (block, lr);
     # the (block, lr) identity is per cell (a y_mid row mixes blocks).
@@ -1075,7 +1188,9 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
         xext_rows=xext_rows, exp_panels=exp_panels, pa_panels=pa_panels,
         pa_nwin=NWIN, exp_route=exp_route, pa_route=pa_route,
         pa_bases=pa_bases, w_stream=w_stream, fix_dst=fix_dst,
-        fix2_dst=fix2_dst, hub_mask=hub_mask, xext=xext_plan, fixg=fixg,
+        fix2_dst=fix2_dst, hub_mask=hub_mask, fixr_route=fixr_route,
+        fixr_bases=fixr_bases.reshape(-1), fixr_nwin=fixr_nwin,
+        fix_panels=fix_panels, xext=xext_plan,
         fix2g=fix2g, mexp=mexp_plan, dense_rows=dense_rows)
 
 
@@ -1116,8 +1231,28 @@ def simulate_spmv3(plan: Spmv3Plan, x: np.ndarray, fill, reduce_kind="sum",
             np.maximum.at(out, dstv, part)
         return out
 
+    # fix route: assemble window stacks from s1 (+ one fill block), route
+    s1f = np.concatenate(
+        [s1.reshape(-1, STRIPE, LANES),
+         np.full((1, STRIPE, LANES), fill, s1.dtype)], axis=0)
+    vf = s1f[plan.fixr_bases.reshape(plan.fix_panels, plan.fixr_nwin)]
+    vf = vf.reshape(plan.fix_panels * plan.fixr_nwin * STRIPE, LANES)
+    stack1 = simulate_route(plan.fixr_route, vf, plan.fix_panels)
+
+    def chunked_fold_arr(stack, dstv, nrows):
+        stack = stack.reshape(-1, STRIPE, LANES)
+        part = red.reduce(stack, axis=1)
+        out = np.full((nrows, LANES), fill, part.dtype)
+        if reduce_kind == "sum":
+            np.add.at(out, dstv, part)
+        elif reduce_kind == "min":
+            np.minimum.at(out, dstv, part)
+        else:
+            np.maximum.at(out, dstv, part)
+        return out
+
     nb_raw = (plan.fix_dst.max() + 1) if plan.fix_dst.size else 1
-    y_mid = chunked_fold(s1, plan.fixg, plan.fix_dst, int(nb_raw))
+    y_mid = chunked_fold_arr(stack1, plan.fix_dst, int(nb_raw))
     # hub rows: lane-⊕-fold the whole row into every lane before fix2
     hm = plan.hub_mask
     if hm.size and hm.any():

@@ -158,10 +158,24 @@ def test_panel_kernels_match_simulator(kind):
                      jnp.asarray(plan.pa_route.idx3),
                      fill, plan.pa_panels, plan.pa_nwin, interpret=True)
     nrb = int(plan.fix_dst.max()) + 1 if plan.fix_dst.size else 1
-    stack1 = simulate_gather(plan.fixg, np.asarray(s1), fill)
+    s1f = jnp.concatenate(
+        [s1, jnp.full((STRIPE, LANES), fill, s1.dtype)], axis=0)
+    stack1 = route_passa(s1f, jnp.asarray(plan.fixr_bases),
+                         jnp.asarray(plan.fixr_route.idx1),
+                         jnp.asarray(plan.fixr_route.sel_a),
+                         jnp.asarray(plan.fixr_route.sel_b),
+                         jnp.asarray(plan.fixr_route.idx3),
+                         fill, plan.fix_panels, plan.fixr_nwin,
+                         interpret=True)
     y_mid = colsum_chunks(jnp.asarray(stack1), jnp.asarray(plan.fix_dst),
                           -(-nrb // STRIPE) * STRIPE, kind, fill,
                           interpret=True)
+    hm = np.zeros(y_mid.shape[0], dtype=bool)
+    hm[:min(plan.hub_mask.size, y_mid.shape[0])] = \
+        plan.hub_mask[:y_mid.shape[0]]
+    folded = (jnp.sum(y_mid, axis=1, keepdims=True) if kind == "sum"
+              else jnp.min(y_mid, axis=1, keepdims=True))
+    y_mid = jnp.where(jnp.asarray(hm)[:, None], folded, y_mid)
     stack2 = simulate_gather(plan.fix2g, np.asarray(y_mid), fill)
     y = colsum_chunks(jnp.asarray(stack2), jnp.asarray(plan.fix2_dst),
                       plan.nblocks, kind, fill, interpret=True)
