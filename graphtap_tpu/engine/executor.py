@@ -131,7 +131,12 @@ class Executor:
         i_mask = self.tiles.i_own
         other_state = None
         if other is not None:
-            other_state = {k: np.asarray(v) for k, v in other.state.items()}
+            # multi-process: the predecessor's state is device-stacked and
+            # only partially addressable here — gather the global value
+            # (no-op single-process)
+            from graphtap_tpu.parallel.multihost import allgather_state
+            other_state = {k: allgather_state(v)
+                           for k, v in other.state.items()}
         state_np, changed_np = self.program.init(vids, i_mask, other_state)
         self.state = {k: self._put(np.asarray(v)) for k, v in state_np.items()}
         valid = vids < self.graph.nv
