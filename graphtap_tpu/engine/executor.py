@@ -116,6 +116,13 @@ class Executor:
                     self.tiles, value_dtype=np.dtype(self.program.value_dtype))
             self._phase_shuffle_meta["main"] = self._shuffle_meta
             self._shuffle_dev = self._shuffle_meta.device_arrays(self.mesh)
+        elif self.kernel == "onehot":
+            # blocked one-hot Pallas reduce (kernels/pallas_spmv.py); the
+            # x gather + ⊗ stay in XLA — the lab's baseline Pallas variant
+            from graphtap_tpu.kernels.pallas_spmv import build_pallas_plan
+            self._onehot_plans = {"main": build_pallas_plan(
+                self.tiles.rows, self.tiles.cols, self.tiles.weights,
+                self.tiles.nnz, self.tiles.NR)}
 
     # ------------------------------------------------------------------ util
     def _put(self, arr: np.ndarray):
@@ -167,6 +174,30 @@ class Executor:
                 from graphtap_tpu.kernels.gather_engine import spmv2_local
                 y_dense = spmv2_local(x, plan_local, meta, sem,
                                       dense_len=Cc * L, interpret=interp)
+            if sem.reduce_kind == "sum":
+                return lax.psum_scatter(y_dense, COLS,
+                                        scatter_dimension=0, tiled=True)
+            parts = lax.all_to_all(y_dense.reshape(Cc, L), COLS,
+                                   split_axis=0, concat_axis=0)
+            return sem.axis_reduce(parts, axis=0)
+        if self.kernel == "onehot":
+            from graphtap_tpu.kernels.pallas_spmv import pallas_segment_reduce
+            interp = self.mesh.devices.flat[0].platform != "tpu"
+            xv = jnp.take(x, tile["oh_cols"][0], axis=0)
+            wv = tile["oh_w"][0] if "oh_w" in tile else None
+            contrib = sem.mul(xv, wv)
+            ev = tile["oh_evalid"][0] != 0
+            contrib = jnp.where(ev, contrib,
+                                sem.identity_like(contrib.dtype))
+            plan = self._onehot_plans[phase]
+            y_comp = pallas_segment_reduce(
+                contrib, tile["oh_lrows"][0], tile["oh_chunk_block"][0],
+                plan.nblocks, self._phase_tiles[phase].NR, sem,
+                interpret=interp)
+            if self._renumber:
+                y_dense = expand_compact(y_comp, tile["iv_dense"][0], sem)
+            else:
+                y_dense = y_comp
             if sem.reduce_kind == "sum":
                 return lax.psum_scatter(y_dense, COLS,
                                         scatter_dimension=0, tiled=True)
@@ -369,6 +400,20 @@ class Executor:
             t["vids"] = self._vids
             t["i_own"] = self._dev_tiles["i_own"]
             return t
+        if self.kernel == "onehot":
+            plan = self._onehot_plans["main"]
+            t = {"oh_lrows": self._put(plan.lrows),
+                 "oh_cols": self._put(plan.cols),
+                 "oh_evalid": self._put(plan.evalid.astype(np.int8)),
+                 "oh_chunk_block": self._put(plan.chunk_block),
+                 "vids": self._vids,
+                 "i_own": self._dev_tiles["i_own"]}
+            if plan.weights is not None:
+                t["oh_w"] = self._put(plan.weights)
+            if self._dev_tiles.get("iv_dense") is not None:
+                t["iv_dense"] = self._dev_tiles["iv_dense"]
+            self._has_w = plan.weights is not None
+            return t
         t = dict(self._dev_tiles)
         t["vids"] = self._vids
         # drop fields the superstep doesn't consume
@@ -428,6 +473,20 @@ class Executor:
                     ts, value_dtype=np.dtype(self.program.value_dtype))
                 self._phase_shuffle_meta[ph] = meta
                 t = dict(meta.device_arrays(self.mesh))
+            elif self.kernel == "onehot":
+                from graphtap_tpu.kernels.pallas_spmv import \
+                    build_pallas_plan
+                plan = build_pallas_plan(ts.rows, ts.cols, ts.weights,
+                                         ts.nnz, ts.NR)
+                self._onehot_plans[ph] = plan
+                t = {"oh_lrows": self._put(plan.lrows),
+                     "oh_cols": self._put(plan.cols),
+                     "oh_evalid": self._put(plan.evalid.astype(np.int8)),
+                     "oh_chunk_block": self._put(plan.chunk_block)}
+                if plan.weights is not None:
+                    t["oh_w"] = self._put(plan.weights)
+                if dev.get("iv_dense") is not None:
+                    t["iv_dense"] = dev["iv_dense"]
             else:
                 t = {k: v for k, v in dev.items() if v is not None}
                 for k in ("nnzrows", "j_own", "regular_own", "source_own",

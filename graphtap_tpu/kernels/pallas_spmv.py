@@ -139,9 +139,10 @@ def _reduce_kernel(reduce_kind, identity, cb_ref, contrib_ref, lrows_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("nblocks", "nchunks",
-                                             "reduce_kind", "identity"))
+                                             "reduce_kind", "identity",
+                                             "interpret"))
 def _pallas_reduce(contrib, lrows, chunk_block, nblocks: int, nchunks: int,
-                   reduce_kind: str, identity):
+                   reduce_kind: str, identity, interpret: bool = False):
     kern = functools.partial(_reduce_kernel, reduce_kind, identity)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -157,17 +158,20 @@ def _pallas_reduce(contrib, lrows, chunk_block, nblocks: int, nchunks: int,
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nblocks, RB), contrib.dtype),
+        interpret=interpret,
     )(chunk_block, contrib, lrows)
 
 
 def pallas_segment_reduce(contrib: jnp.ndarray, lrows: jnp.ndarray,
                           chunk_block: jnp.ndarray, nblocks: int,
-                          NR: int, semiring: Semiring) -> jnp.ndarray:
+                          NR: int, semiring: Semiring,
+                          interpret: bool = False) -> jnp.ndarray:
     """⊕-fold chunked contributions into the compact row space (NR,)."""
     y = _pallas_reduce(contrib, lrows, chunk_block, nblocks,
                        chunk_block.shape[0],
                        semiring.reduce_kind,
                        float(semiring.identity)
                        if jnp.issubdtype(contrib.dtype, jnp.floating)
-                       else int(semiring.identity))
+                       else int(semiring.identity),
+                       interpret=interpret)
     return y.reshape(-1)[:NR]

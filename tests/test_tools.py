@@ -47,18 +47,22 @@ def test_state_stats():
     assert s["max"] == 3.0
 
 
-@pytest.mark.parametrize("which", [0, 1, 2])
+@pytest.mark.parametrize("which", [0, 1, 2, 6, 7])
 def test_kernel_lab_variants_agree(which):
     r = run_variant(which, RMAT10, 1024, 5)
-    # all variants must produce the same checksum (the reference's
-    # cross-format invariant); reference binary prints 314.723 at 5 iters
+    # all variants must produce the same checksum AND the same stored-edge
+    # operation count (the reference's cross-format invariant,
+    # csc_spmv.hpp:222-228); reference binary prints 314.723 at 5 iters
     assert r["checksum"] == pytest.approx(314.723, abs=2e-3)
     assert r["operations"] == 16384 * 5
+    assert r["slots"] >= r["operations"]
 
 
-def test_kernel_lab_shuffle_variant():
-    r = run_variant(3, RMAT10, 1024, 5)
+@pytest.mark.parametrize("which", [3, 4, 5])
+def test_kernel_lab_pipeline_variants(which):
+    r = run_variant(which, RMAT10, 1024, 5)
     assert r["checksum"] == pytest.approx(314.723, abs=2e-3)
+    assert r["operations"] == 16384 * 5
 
 
 def test_pr1_two_load():
