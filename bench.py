@@ -150,6 +150,29 @@ def main():
     gteps = nnz * ITERS / dt / 1e9
     checksum, _ = pr_ex.checksum()
 
+    # correctness oracle at benchmark scale (reference analog: the
+    # cross-format Final-value check, csc_spmv.hpp:222-228): an
+    # independent f64 NumPy golden model, disk-memoized. f32 value-path
+    # drift on RMAT-20 measured at ~2e-7 relative; gate at 1e-4.
+    gp = os.path.join(CACHE, f"golden_rmat{SCALE}_ef{EDGE_FACTOR}"
+                             f"_s{SEED}_i{ITERS}.txt")
+    if os.path.exists(gp):
+        golden_sum = float(open(gp).read())
+    else:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        import golden as golden_mod
+        v = golden_mod.pagerank(src.astype(np.int64), dst.astype(np.int64),
+                                n + 1, ITERS)
+        golden_sum = float(v.sum())
+        with open(gp, "w") as f:
+            f.write(repr(golden_sum))
+    rel = abs(checksum - golden_sum) / abs(golden_sum)
+    assert rel < 1e-4, (
+        f"checksum {checksum} vs golden {golden_sum} (rel {rel:.2e})")
+    log(f"[bench] checksum ok: {checksum:.2f} vs golden {golden_sum:.4f} "
+        f"(rel {rel:.1e})")
+
     print(json.dumps({
         "metric": f"pagerank_gteps_rmat{SCALE}",
         "value": round(gteps, 4),

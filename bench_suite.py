@@ -1,0 +1,202 @@
+"""Benchmark suite: the north-star metrics beyond the single headline run
+(BASELINE.md; reference: graphtap.slurm:43-72 app/scale matrix).
+
+Covers:
+  * BFS / SSSP / CC wall-clock to convergence on an RMAT graph
+    (reference rows: bfs/sssp/cc in graphtap.slurm:50-72)
+  * PageRank iterations/sec at a larger scale (north-star: RMAT-24)
+  * simulated-mesh scaling table (1 -> N CPU devices, nnz/s) — the
+    single-host stand-in for the >=70% multi-host scaling-efficiency
+    target until real multi-chip hardware is available
+
+Writes one JSON object per line to BENCH_SUITE.json (and stdout).
+Env knobs: SUITE_SCALE (default 18), SUITE_PR_SCALE (default 22),
+SUITE_KERNEL (default scan — no plan-build cost), SUITE_SKIP_SCALING.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SCALE = int(os.environ.get("SUITE_SCALE", "18"))
+PR_SCALE = int(os.environ.get("SUITE_PR_SCALE", "22"))
+KERNEL = os.environ.get("SUITE_KERNEL", "scan")
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache")
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "BENCH_SUITE.json")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def emit(fh, rec):
+    line = json.dumps(rec)
+    print(line, flush=True)
+    fh.write(line + "\n")
+    fh.flush()
+
+
+def _graph(scale, cfg_fn, weighted=False, mesh=None):
+    from graphtap_tpu import Graph
+    from graphtap_tpu.tools.artifact_cache import cached_rmat
+    src, dst, w = cached_rmat(scale, 16, 1, CACHE, weighted=weighted)
+    return Graph.from_edges(src, dst, w, cfg_fn(1 << scale), mesh=mesh)
+
+
+def nonstationary_apps(fh):
+    import jax.numpy as jnp
+    from graphtap_tpu.apps.bfs import BFSProgram, bfs_config
+    from graphtap_tpu.apps.cc import CCProgram, cc_config
+    from graphtap_tpu.apps.sssp import SSSPProgram, sssp_config
+    from graphtap_tpu.config import EngineConfig, Ordering
+    from graphtap_tpu.engine.executor import Executor
+
+    runs = [
+        ("bfs", bfs_config, False, BFSProgram(root=0),
+         dict(stationary=False, apply_depends_on_iter=True)),
+        ("cc", cc_config, False, CCProgram(),
+         dict(stationary=False, gather_depends_on_apply=True)),
+        ("sssp", sssp_config, True, SSSPProgram(root=0),
+         dict(stationary=False, gather_depends_on_apply=True)),
+    ]
+    for name, cfg_fn, weighted, prog, eflags in runs:
+        t0 = time.perf_counter()
+        g = _graph(SCALE, cfg_fn, weighted=weighted)
+        ex = Executor(g, prog,
+                      EngineConfig(ordering=Ordering.ROW, **eflags),
+                      kernel=KERNEL)
+        ex.initialize()
+        t_build = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        iters = ex.execute(0)          # to convergence
+        dt = time.perf_counter() - t1
+        cs, reach = ex.checksum()
+        nnz = ex.tiles.nnz_total
+        emit(fh, {
+            "metric": f"{name}_seconds_rmat{SCALE}", "value": round(dt, 3),
+            "unit": "s", "detail": {
+                "iterations": iters, "edges": int(nnz),
+                "gteps": round(nnz * iters / dt / 1e9, 4),
+                "checksum": cs, "reachable": reach, "kernel": KERNEL,
+                "build_seconds": round(t_build, 1)}})
+
+
+def pagerank_large(fh):
+    import jax.numpy as jnp
+    from graphtap_tpu import GraphConfig, Compression
+    from graphtap_tpu.apps.pagerank import run_pagerank
+    t0 = time.perf_counter()
+    g = _graph(PR_SCALE, lambda n: GraphConfig(
+        num_vertices=n, directed=True, transpose=True,
+        compression=Compression.TCSC))
+    from graphtap_tpu.apps.degree import DegreeProgram
+    from graphtap_tpu.apps.pagerank import PageRankProgram
+    from graphtap_tpu.config import EngineConfig, Ordering
+    from graphtap_tpu.engine.executor import Executor
+    deg_ex = Executor(g, DegreeProgram(value_dtype=jnp.float32),
+                      EngineConfig(stationary=True, ordering=Ordering.COL),
+                      kernel=KERNEL)
+    deg_ex.initialize()
+    deg_ex.execute(1)
+    pr_ex = Executor(g, PageRankProgram(value_dtype=jnp.float32),
+                     EngineConfig(stationary=True, ordering=Ordering.ROW),
+                     kernel=KERNEL)
+    pr_ex.initialize(other=deg_ex)
+    iters = 5
+    pr_ex.execute(iters)               # warmup/compile
+    t_build = time.perf_counter() - t0
+    pr_ex.initialize(other=deg_ex)
+    t1 = time.perf_counter()
+    pr_ex.execute(iters)
+    dt = time.perf_counter() - t1
+    nnz = pr_ex.tiles.nnz_total
+    cs, _ = pr_ex.checksum()
+    emit(fh, {
+        "metric": f"pagerank_iters_per_sec_rmat{PR_SCALE}",
+        "value": round(iters / dt, 4), "unit": "iters/s",
+        "detail": {"edges": int(nnz), "iters": iters,
+                   "seconds": round(dt, 3),
+                   "gteps": round(nnz * iters / dt / 1e9, 4),
+                   "checksum": round(cs, 2), "kernel": KERNEL,
+                   "build_seconds": round(t_build, 1)}})
+
+
+def scaling_table(fh):
+    """nnz/s at 1..8 simulated CPU devices (subprocess per point so the
+    device count can differ)."""
+    import subprocess
+    rows = []
+    for nd in (1, 2, 4, 8):
+        code = f"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count={nd}"
+import time, json
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import sys
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+from graphtap_tpu import Graph, GraphConfig, Compression
+from graphtap_tpu.apps.degree import DegreeProgram
+from graphtap_tpu.apps.pagerank import PageRankProgram
+from graphtap_tpu.config import EngineConfig, Ordering
+from graphtap_tpu.engine.executor import Executor
+from graphtap_tpu.parallel.layout import make_mesh, integer_factorize
+from graphtap_tpu.tools.artifact_cache import cached_rmat
+src, dst, _ = cached_rmat(16, 16, 1, {CACHE!r})
+mesh = make_mesh(jax.devices()[:{nd}], shape=integer_factorize({nd}))
+cfg = GraphConfig(num_vertices=1 << 16, directed=True, transpose=True,
+                  compression=Compression.TCSC)
+g = Graph.from_edges(src, dst, None, cfg, mesh=mesh)
+deg = Executor(g, DegreeProgram(value_dtype=jnp.float32),
+               EngineConfig(stationary=True, ordering=Ordering.COL),
+               kernel="scan")
+deg.initialize(); deg.execute(1)
+pr = Executor(g, PageRankProgram(value_dtype=jnp.float32),
+              EngineConfig(stationary=True, ordering=Ordering.ROW),
+              kernel="scan")
+pr.initialize(other=deg); pr.execute(5)
+pr.initialize(other=deg)
+t0 = time.perf_counter(); pr.execute(5)
+dt = time.perf_counter() - t0
+print(json.dumps(dict(nd={nd}, seconds=dt,
+                      nnz_per_s=pr.tiles.nnz_total * 5 / dt)))
+"""
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=900)
+        if out.returncode != 0:
+            log(f"[suite] scaling nd={nd} failed: {out.stderr[-500:]}")
+            continue
+        rows.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        log(f"[suite] scaling {rows[-1]}")
+    if rows:
+        base = rows[0]["nnz_per_s"]
+        eff = {str(r["nd"]):
+               round(r["nnz_per_s"] / (base * r["nd"]), 3) for r in rows}
+        emit(fh, {"metric": "cpu_mesh_scaling_rmat16",
+                  "value": eff.get("8", eff[max(eff)]),
+                  "unit": "efficiency",
+                  "detail": {"rows": rows, "efficiency_vs_1dev": eff,
+                             "note": "N virtual devices timeshare this "
+                             "host's 2 physical cores, so efficiency here "
+                             "is dominated by oversubscription; it bounds "
+                             "overhead growth, not ICI scaling"}})
+
+
+def main():
+    os.makedirs(CACHE, exist_ok=True)
+    with open(OUT, "w") as fh:
+        if not os.environ.get("SUITE_SKIP_SCALING"):
+            scaling_table(fh)
+        nonstationary_apps(fh)
+        pagerank_large(fh)
+
+
+if __name__ == "__main__":
+    main()
