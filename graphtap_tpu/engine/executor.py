@@ -174,12 +174,7 @@ class Executor:
                 from graphtap_tpu.kernels.gather_engine import spmv2_local
                 y_dense = spmv2_local(x, plan_local, meta, sem,
                                       dense_len=Cc * L, interpret=interp)
-            if sem.reduce_kind == "sum":
-                return lax.psum_scatter(y_dense, COLS,
-                                        scatter_dimension=0, tiled=True)
-            parts = lax.all_to_all(y_dense.reshape(Cc, L), COLS,
-                                   split_axis=0, concat_axis=0)
-            return sem.axis_reduce(parts, axis=0)
+            return self._exchange_y(y_dense)
         if self.kernel == "onehot":
             from graphtap_tpu.kernels.pallas_spmv import pallas_segment_reduce
             interp = self.mesh.devices.flat[0].platform != "tpu"
@@ -198,12 +193,7 @@ class Executor:
                 y_dense = expand_compact(y_comp, tile["iv_dense"][0], sem)
             else:
                 y_dense = y_comp
-            if sem.reduce_kind == "sum":
-                return lax.psum_scatter(y_dense, COLS,
-                                        scatter_dimension=0, tiled=True)
-            parts = lax.all_to_all(y_dense.reshape(Cc, L), COLS,
-                                   split_axis=0, concat_axis=0)
-            return sem.axis_reduce(parts, axis=0)
+            return self._exchange_y(y_dense)
         w = tile["weights"][0] if tile["weights"] is not None else None
         if self.kernel == "scan":
             y_comp = spmv_sorted_scan(
@@ -217,12 +207,7 @@ class Executor:
             y_dense = expand_compact(y_comp, tile["iv_dense"][0], sem)
         else:
             y_dense = y_comp                                     # (C*L,)
-        if sem.reduce_kind == "sum":
-            return lax.psum_scatter(y_dense, COLS,
-                                    scatter_dimension=0, tiled=True)  # (L,)
-        parts = lax.all_to_all(y_dense.reshape(Cc, L), COLS,
-                               split_axis=0, concat_axis=0)      # (Cc, L)
-        return sem.axis_reduce(parts, axis=0)                    # (L,)
+        return self._exchange_y(y_dense)                         # (L,)
 
     def _apply(self, Vl, y_own, tile, it):
         """(reference: apply_*, vertex_program.hpp:1610-1802). TCSC
@@ -238,6 +223,54 @@ class Executor:
             changed = changed & mask
         changed = changed & (tile["vids"][0] < self.graph.nv)
         return V2l, changed
+
+    def _exchange_y(self, y_dense):
+        """Partial-y reduction along the cols axis (reference: the
+        follower→leader partial-y sends + leader-side ⊕-fold,
+        vertex_program.hpp:1083-1111, 1510-1573). Sum semirings
+        reduce-scatter (the fold IS the collective); min/max use
+        all_to_all + ⊕-fold. With ``sparse_exchange_capacity = K`` and a
+        nonstationary program, the sparse YI/YV protocol (reference
+        :912-966, 1543-1573): if every sender's per-segment active count
+        fits in K, exchange compacted (index, value) pairs and
+        scatter-⊕ on the receiver, with the same psum'd fits-vote as the
+        x side so every cols-group device takes the same branch."""
+        sem, part = self.program.semiring, self.part
+        L, Cc = part.L, part.C
+        if sem.reduce_kind == "sum":
+            return lax.psum_scatter(y_dense, COLS,
+                                    scatter_dimension=0, tiled=True)
+        y2 = y_dense.reshape(Cc, L)
+        K = self.engine.sparse_exchange_capacity
+        if not K or self.program.stationary:
+            parts = lax.all_to_all(y2, COLS, split_axis=0, concat_axis=0)
+            return sem.axis_reduce(parts, axis=0)
+        K = min(K, L)
+        ident = sem.identity_like(y_dense.dtype)
+        act = y2 != ident
+        nact = jnp.sum(act.astype(jnp.int32), axis=1)       # per segment
+        fits = lax.psum((jnp.max(nact) <= K).astype(jnp.int32), COLS) == Cc
+
+        def sparse(_):
+            order = jnp.argsort(~act, axis=1, stable=True)  # active first
+            idx = order[:, :K].astype(jnp.int32)            # (Cc, K)
+            val = jnp.take_along_axis(y2, idx, axis=1)
+            ok = lax.broadcasted_iota(jnp.int32, (Cc, K), 1) < nact[:, None]
+            idx = jnp.where(ok, idx, jnp.int32(L))          # park slot
+            gi = lax.all_to_all(idx, COLS, split_axis=0, concat_axis=0)
+            gv = lax.all_to_all(val, COLS, split_axis=0, concat_axis=0)
+            y = jnp.full((L + 1,), ident, y_dense.dtype)
+            if sem.reduce_kind == "min":
+                y = y.at[gi.reshape(-1)].min(gv.reshape(-1), mode="drop")
+            else:
+                y = y.at[gi.reshape(-1)].max(gv.reshape(-1), mode="drop")
+            return y[:L]
+
+        def dense(_):
+            parts = lax.all_to_all(y2, COLS, split_axis=0, concat_axis=0)
+            return sem.axis_reduce(parts, axis=0)
+
+        return lax.cond(fits, sparse, dense, None)
 
     def _exchange_x(self, m, c):
         """Message exchange along the rows axis (reference: scatter/bcast,
