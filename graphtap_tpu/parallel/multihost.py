@@ -107,37 +107,57 @@ def global_sum(x) -> np.ndarray:
     return _allgather_host(np.asarray(x)).sum(axis=0)
 
 
+EXCHANGE_CHUNK = 1 << 22   # edges per allgather round (bounds peak memory)
+
+
 def exchange_edges(r: np.ndarray, c: np.ndarray, w: Optional[np.ndarray],
                    part: Partition, mesh: Mesh):
     """From per-host byte-range shares to per-host ownership: gather every
     host's share and keep the edges of this host's devices. One-time
     ingest cost (reference: the triple all-to-all, matrix.hpp:692-810).
-    Also checks the edge-count conservation invariant
-    (graph.hpp:299-300)."""
+    Also checks the edge-count conservation invariant (graph.hpp:299-300).
+
+    The gather runs in bounded EXCHANGE_CHUNK rounds so peak memory is
+    O(P * chunk), not O(total edges) — the memory discipline of the
+    reference's pairwise alltoallv without its pairwise choreography."""
     if jax.process_count() == 1:
         return r, c, w
-    from jax.experimental import multihost_utils
     n_local = np.int64(r.size)
     counts = _allgather_host(n_local)
     cap = int(counts.max())
     total = int(counts.sum())
 
-    def pad(a, fill=0):
-        out = np.full(cap, fill, dtype=a.dtype)
-        out[:a.size] = a
-        return out
+    keep_r, keep_c, keep_w = [], [], []
+    n_seen = 0
+    for lo in range(0, cap, EXCHANGE_CHUNK):
+        hi = min(cap, lo + EXCHANGE_CHUNK)
+        width = hi - lo
 
-    gr = _allgather_host(pad(r.astype(np.int64)))
-    gc = _allgather_host(pad(c.astype(np.int64)))
-    gw = _allgather_host(pad(w)) if w is not None else None
-    keepv = np.concatenate([np.arange(cap) < counts[p]
-                            for p in range(counts.size)])
-    rr = gr.reshape(-1)[keepv]
-    cc = gc.reshape(-1)[keepv]
-    ww = gw.reshape(-1)[keepv] if gw is not None else None
-    assert rr.size == total, "edge count not conserved across the exchange"
-    mine = host_edge_share(rr, cc, part, mesh)
-    return rr[mine], cc[mine], (ww[mine] if ww is not None else None)
+        def pad(a, dtype):
+            out = np.zeros(width, dtype=dtype)
+            seg = a[lo:hi]
+            out[:seg.size] = seg
+            return out
+
+        gr = _allgather_host(pad(r.astype(np.int64), np.int64))
+        gc = _allgather_host(pad(c.astype(np.int64), np.int64))
+        gw = _allgather_host(pad(w, w.dtype)) if w is not None else None
+        keepv = np.concatenate(
+            [np.arange(lo, hi) < counts[p] for p in range(counts.size)])
+        rr = gr.reshape(-1)[keepv]
+        cc = gc.reshape(-1)[keepv]
+        n_seen += rr.size
+        mine = host_edge_share(rr, cc, part, mesh)
+        keep_r.append(rr[mine])
+        keep_c.append(cc[mine])
+        if gw is not None:
+            keep_w.append(gw.reshape(-1)[keepv][mine])
+    assert n_seen == total, "edge count not conserved across the exchange"
+    rr = np.concatenate(keep_r) if keep_r else r[:0]
+    cc = np.concatenate(keep_c) if keep_c else c[:0]
+    ww = (np.concatenate(keep_w) if keep_w else w[:0]) \
+        if w is not None else None
+    return rr, cc, ww
 
 
 def put_device_stacked(a: np.ndarray, mesh: Mesh):
