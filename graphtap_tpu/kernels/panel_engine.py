@@ -184,9 +184,9 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
         fd = np.full(fix_panels * STRIPE, nrb - STRIPE, np.int32)
         fd[:p.fix_dst.size] = p.fix_dst
         arrs.setdefault("fix_dst", []).append(fd)
-        hm = np.zeros(nrb, dtype=np.int8)
+        hm = np.zeros(nrb, dtype=np.uint8)
         hm[:min(p.hub_mask.size, nrb)] = \
-            p.hub_mask[:nrb].astype(np.int8)
+            p.hub_mask[:nrb].astype(np.uint8)
         arrs.setdefault("hub_mask", []).append(hm)
         fd2 = np.full(fix2_chunks, nblocks - STRIPE, np.int32)
         fd2[:p.fix2_dst.size] = p.fix2_dst
@@ -242,16 +242,20 @@ def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
         meta.fixr_nwin, interpret=interpret)
     y_mid = colsum_chunks(stack1, t["fix_dst"], meta.nrb,
                           semiring.reduce_kind, fill, interpret=interpret)
-    # hub rows (one dedicated y_mid row per hub run): lane-⊕-fold the row
-    # into every lane so fix2 reads one conflict-free cell per hub
-    hm = t["hub_mask"].astype(jnp.bool_)
-    if semiring.reduce_kind == "sum":
-        folded = jnp.sum(y_mid, axis=1, keepdims=True)
-    elif semiring.reduce_kind == "min":
-        folded = jnp.min(y_mid, axis=1, keepdims=True)
-    else:
-        folded = jnp.max(y_mid, axis=1, keepdims=True)
-    y_mid = jnp.where(hm[:, None], folded, y_mid)
+    # hub rows: lane-⊕-fold at the row's packed slot width (hub_mask
+    # codes 32/64/128; several hubs share a row at 2^c-lane boundaries)
+    # so fix2 reads one conflict-free cell per hub
+    hm = t["hub_mask"].astype(jnp.int32)
+    nr_ = y_mid.shape[0]
+    for W in (32, 64, 128):
+        if semiring.reduce_kind == "sum":
+            f = jnp.sum(y_mid.reshape(nr_, 128 // W, W), axis=2)
+        elif semiring.reduce_kind == "min":
+            f = jnp.min(y_mid.reshape(nr_, 128 // W, W), axis=2)
+        else:
+            f = jnp.max(y_mid.reshape(nr_, 128 // W, W), axis=2)
+        f = jnp.repeat(f, W, axis=1)
+        y_mid = jnp.where((hm == W)[:, None], f, y_mid)
     stack2 = windowed_gather(
         y_mid, t["fix2g_wsel"], t["fix2g_nact"], t["fix2g_cidx"],
         t["fix2g_meta"], None, fill, meta.out_rows["fix2g"],

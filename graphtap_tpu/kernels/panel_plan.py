@@ -332,7 +332,75 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
             src_at[panel_of[t], src_r[t], tm] = c1[t]
             land[lay[take], panel_of[t], row_of[t], tm] = rc[t]
             final_used[panel_of[t], row_of[t], dst_lane[t]] = True
+            final_who[panel_of[t], row_of[t], dst_lane[t]] = t
             pend = pend[~take]
+
+        # tail repair (fixed-lane): place stragglers, relocating one
+        # same-lane blocker to another row of the stripe if needed
+        def _viable_mf(e):
+            sa_row = src_at[panel_of[e], src_r[e]]
+            return np.flatnonzero((sa_row == 0) | (sa_row == c1[e]))
+
+        def _spot_f(e, m):
+            p = panel_of[e]
+            rows = dst_stripe[e] * STRIPE + np.arange(STRIPE)
+            for ly in range(2):
+                la = land[ly, p, rows, m]
+                for tr in range(STRIPE):
+                    if (la[tr] == 0 or la[tr] == rc[e]) and \
+                            not final_used[p, rows[tr], dst_lane[e]]:
+                        return int(rows[tr]), ly
+            return None
+
+        def _place_f(e, m, row, ly):
+            p = panel_of[e]
+            m_of[e] = m
+            row_of[e] = row
+            pick[e] = ly
+            src_at[p, src_r[e], m] = c1[e]
+            land[ly, p, row, m] = rc[e]
+            final_used[p, row, dst_lane[e]] = True
+            final_who[p, row, dst_lane[e]] = e
+
+        for e in pend.tolist():
+            p = int(panel_of[e])
+            done = False
+            for m in _viable_mf(e):
+                sp = _spot_f(e, int(m))
+                if sp is not None:
+                    _place_f(e, int(m), sp[0], sp[1])
+                    done = True
+                    break
+            if done:
+                continue
+            for m in _viable_mf(e):
+                rows = dst_stripe[e] * STRIPE + np.arange(STRIPE)
+                for row in rows:
+                    l0 = land[0, p, row, m]
+                    l1 = land[1, p, row, m]
+                    ly_e = 0 if (l0 == 0 or l0 == rc[e]) else \
+                        (1 if (l1 == 0 or l1 == rc[e]) else -1)
+                    if ly_e < 0:
+                        continue
+                    bslot = int(final_who[p, row, dst_lane[e]])
+                    if bslot < 0 or is_fill[bslot]:
+                        continue
+                    for m2 in _viable_mf(bslot):
+                        sp = _spot_f(bslot, int(m2))
+                        if sp is not None:
+                            final_used[p, row, dst_lane[e]] = False
+                            final_who[p, row, dst_lane[e]] = -1
+                            _place_f(bslot, int(m2), sp[0], sp[1])
+                            _place_f(e, int(m), int(row), ly_e)
+                            done = True
+                            break
+                    if done:
+                        break
+                if done:
+                    break
+            if not done:
+                raise ValueError("route: unplaceable slot after repair")
+        pend = np.zeros(0, dtype=np.int64)
     if pend.size:
         raise ValueError(f"route: {pend.size} unplaceable real slots")
 
@@ -539,8 +607,9 @@ class Spmv3Plan:
     w_stream: Optional[np.ndarray]  # (exp_panels*PROWS, 128) or None
     fix_dst: np.ndarray    # (fix_chunks,) int32 y_mid row per chunk
     fix2_dst: np.ndarray   # (fix2_chunks,) int32 compact-y row per chunk
-    hub_mask: np.ndarray   # (y_mid rows,) bool — rows lane-⊕-folded
-                           # before the level-2 gather (hub runs)
+    hub_mask: np.ndarray   # (y_mid rows,) uint8 — 0: plain row; W in
+                           # {32,64,128}: lane-⊕-fold the row at width W
+                           # before the level-2 gather (packed hub runs)
     # fix route (s1 -> chunk-stack panels, pass-A kernel)
     fixr_route: RoutePlan
     fixr_bases: np.ndarray  # (fix_panels * fixr_nwin,) int32 s1 blocks
@@ -674,9 +743,13 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
         dem_excl = np.cumsum(slot_dem) - slot_dem
         rows_ = dem_excl // DCAP
         k_ = _concat_ranges(np.bincount(rows_, minlength=XROWS - 1))
-        lanes_ = k_
+        # stagger lanes per row: without the rotation, a source x-row's
+        # columns continue at the SAME lanes in the next x_ext row, and
+        # every such (window, source-row, lane) pair costs the x->x_ext
+        # gather a conflict-layer subop (measured +10 subops at scale 20)
+        lanes_ = (k_ + rows_ * 53) % SLOT_W
         assert rows_.max(initial=0) < XROWS - 1 and \
-            lanes_.max(initial=0) < SLOT_W
+            k_.max(initial=0) < SLOT_W
         x_lists.append((u, rows_, lanes_))
         xe_pos[i:i + m] = (p * XROWS * LANES + rows_[sid] * LANES
                            + lanes_[sid])
@@ -889,7 +962,7 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
             pa_route=pa_route, pa_bases=pa_bases, w_stream=w_stream,
             fix_dst=np.zeros(STRIPE, np.int32),
             fix2_dst=np.zeros(1, np.int32),
-            hub_mask=np.zeros(1, dtype=bool),
+            hub_mask=np.zeros(1, dtype=np.uint8),
             fixr_route=fr0,
             fixr_bases=np.full(2, fill_b, np.int32), fixr_nwin=2,
             fix_panels=1,
@@ -967,12 +1040,29 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
                             minlength=max(nseg, 1)).astype(np.int64)
     seg_wmax = np.zeros(max(nseg, 1), dtype=np.int64)
     np.maximum.at(seg_wmax, seg_id_o, ws_o)
-    seg_nhub = np.bincount(seg_id_o, weights=hub_o,
-                           minlength=max(nseg, 1)).astype(np.int64)
+    # hubs pack SEVERAL per row at power-of-2 slot boundaries: a hub of
+    # w cells takes a 2^ceil(log2(w))-lane slot (fill >= 50%), and the
+    # engine's pre-fix2 lane fold runs at that fixed granularity per row
+    # (hub_wcode), so one row can carry 128/W independent hubs — the
+    # one-hub-per-row layout measured 31% slot fill holding 42% of the
+    # edges at scale 18
+    hub_wcls = np.zeros(nrun, dtype=np.int64)
+    if nrun:
+        hub_wcls[hub_o] = np.ceil(
+            np.log2(np.maximum(w_o[hub_o], 2))).astype(np.int64)
+    hub_wcls = np.clip(hub_wcls, 0, 7)               # W = 2^c <= 128
     seg_Hs = np.where(seg_cells > 0,
                       np.maximum(-(-seg_cells // LANES),
                                  -(-seg_wmax // CPR)), 0)
-    seg_H = seg_Hs + seg_nhub          # shared rows then 1 row per hub
+    # hub rows per (segment, width class): ceil(count / (128/W))
+    WCLS = list(range(5, 8))                         # W in {32, 64, 128}
+    seg_nh = {}
+    for c_ in WCLS:
+        seg_nh[c_] = np.bincount(
+            seg_id_o, weights=hub_o & (hub_wcls == c_),
+            minlength=max(nseg, 1)).astype(np.int64)
+    seg_hrows = {c_: -(-seg_nh[c_] // (LANES >> c_)) for c_ in WCLS}
+    seg_H = seg_Hs + sum(seg_hrows[c_] for c_ in WCLS)
     seg_row0 = np.cumsum(seg_H) - seg_H
     nrb = int(seg_H.sum()) if nrun else 0
     # small-cell enumeration (segment-local, column-major over shared
@@ -982,28 +1072,48 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     seg_rep = np.diff(np.concatenate([np.flatnonzero(seg_chg), [nrun]]))
     seg_cell0 = np.repeat(cell0_o[seg_chg], seg_rep)
     ck_o = cell0_o - seg_cell0                       # first small cell
-    # hub enumeration (segment-local)
-    chub = np.cumsum(hub_o.astype(np.int64))
-    hub0_o = chub - hub_o
-    seg_hub0 = np.repeat(hub0_o[seg_chg], seg_rep)
-    hk_o = hub0_o - seg_hub0                         # hub index in segment
+    # hub enumeration: index within (segment, width class)
+    hk_o = np.zeros(nrun, dtype=np.int64)
+    run_hrow = np.zeros(nrun, dtype=np.int64)
+    run_hbase = np.zeros(nrun, dtype=np.int64)       # lane base of slot
+    hrow_off = seg_Hs.copy()                         # running row offset
+    for c_ in WCLS:
+        sel = hub_o & (hub_wcls == c_)
+        if sel.any():
+            idx = np.flatnonzero(sel)
+            segs = seg_id_o[idx]
+            # rank within segment (ro2 order is segment-sorted)
+            schg = np.ones(idx.size, dtype=bool)
+            schg[1:] = segs[1:] != segs[:-1]
+            rank = np.arange(idx.size) - np.repeat(
+                np.flatnonzero(schg),
+                np.diff(np.concatenate([np.flatnonzero(schg),
+                                        [idx.size]])))
+            per_row = LANES >> c_
+            run_hrow[idx] = (seg_row0[segs] + hrow_off[segs]
+                             + rank // per_row)
+            run_hbase[idx] = (rank % per_row) << c_
+        hrow_off = hrow_off + seg_hrows[c_]
     run_H = np.maximum(seg_Hs[seg_id_o], 1)
     run_row0 = seg_row0[seg_id_o]
-    run_hrow = run_row0 + seg_Hs[seg_id_o] + hk_o    # hub's dedicated row
     # y_mid row depth = max d of cells on the row
     occ_run_o = np.repeat(np.arange(nrun), w_o)      # in ro2 order
     occ_k = np.where(hub_o, 0, ck_o)[occ_run_o] + _concat_ranges(w_o)
     occ_hub = hub_o[occ_run_o]
     occ_row = np.where(occ_hub, run_hrow[occ_run_o],
                        run_row0[occ_run_o] + occ_k % run_H[occ_run_o])
-    occ_lane = np.where(occ_hub, occ_k, occ_k // run_H[occ_run_o])
+    occ_lane = np.where(occ_hub, run_hbase[occ_run_o] + occ_k,
+                        occ_k // run_H[occ_run_o])
     assert int(occ_lane.max(initial=0)) < LANES
     dgrp = np.zeros(max(nrb, 1), dtype=np.int64)
     np.maximum.at(dgrp, occ_row, d_run[ro2][occ_run_o])
     ch0 = np.cumsum(dgrp) - dgrp
     nchunks = int(dgrp.sum()) if nrun else 1
-    hub_mask = np.zeros(max(nrb, 1), dtype=bool)
-    hub_mask[run_hrow[hub_o]] = True
+    # per-row fold width code: 0 = no fold, else W (32/64/128)
+    hub_mask = np.zeros(max(nrb, 1), dtype=np.uint8)
+    if nrun and hub_o.any():
+        hub_mask[run_hrow[hub_o]] = (
+            np.int64(1) << hub_wcls[hub_o]).astype(np.uint8)
     # scatter run fields back to run order
     inv2 = np.empty(nrun, dtype=np.int64)
     inv2[ro2] = np.arange(nrun)
@@ -1011,6 +1121,7 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     rH = run_H[inv2]
     rrow0 = run_row0[inv2]
     rhrow = run_hrow[inv2]
+    rhbase = run_hbase[inv2]
     # per-edge positions: deal ranks across cells, chunk-major depth
     t_in = np.arange(E) - np.repeat(run_starts, cnt_run)
     Wl = w_run[lid]
@@ -1019,7 +1130,7 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     ehub = is_hub[lid]
     grow = np.where(ehub, rhrow[lid],
                     rrow0[lid] + (run_ck[lid] + cell_k) % rH[lid])
-    lanecol = np.where(ehub, cell_k,
+    lanecol = np.where(ehub, rhbase[lid] + cell_k,
                        (run_ck[lid] + cell_k) // rH[lid])
     chunk_id = ch0[grow] + within // STRIPE
     fix_dst = np.repeat(np.arange(max(nrb, 1)),
@@ -1144,7 +1255,9 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     r2 = np.concatenate([occ_row[sm], run_hrow[hubs_r]])
     b2_all = run_blk[ro2][occ_run_o]
     lr2_all = run_lr[ro2][occ_run_o]
-    l2 = np.concatenate([occ_lane[sm], run_lr[ro2][hubs_r]])
+    # a hub's folded value fills every lane of its 2^c slot; fix2 reads
+    # the slot's base lane
+    l2 = np.concatenate([occ_lane[sm], run_hbase[hubs_r]])
     b2 = np.concatenate([b2_all[sm], run_blk[ro2][hubs_r]])
     lr2 = np.concatenate([lr2_all[sm], run_lr[ro2][hubs_r]])
     o7 = np.lexsort((l2, r2, lr2, b2))
@@ -1156,13 +1269,21 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     b7chg = np.concatenate([[True], b2[o7][1:] != b2[o7][:-1]])
     bid7 = np.cumsum(b7chg) - 1
     nb7 = int(bid7[-1]) + 1 if b2.size else 0
-    dep7 = np.zeros(nb7, dtype=np.int64)
-    np.maximum.at(dep7, bid7, t7 // STRIPE + 1)
+    # chunks per block: round-robin cells across them — the chunk count
+    # follows the block's TOTAL cells, not its deepest (block, lr) stack
+    # (rectangular stacking left chunks 4-8x empty once one destination
+    # stacked deep); per (chunk, lane) depth stays <= 8 by construction
+    maxst_b = np.zeros(max(nb7, 1), dtype=np.int64)
+    np.maximum.at(maxst_b, bid7, t7 + 1)
+    dep7 = np.maximum(1, -(-maxst_b // STRIPE))
     ch07 = np.concatenate([[0], np.cumsum(dep7)])[:-1] if nb7 else \
         np.zeros(1, np.int64)
-    chunk7 = ch07[bid7] + (t7 % (STRIPE * np.maximum(dep7[bid7], 1))) // STRIPE
+    cb7 = np.maximum(dep7[bid7], 1)
+    chunk7 = ch07[bid7] + t7 % cb7
     nch7 = int(dep7.sum()) if nb7 else 1
-    dst7 = (chunk7 * STRIPE + t7 % STRIPE) * LANES + lr2[o7]
+    rr7 = t7 // cb7
+    assert int(rr7.max(initial=0)) < STRIPE
+    dst7 = (chunk7 * STRIPE + rr7) * LANES + lr2[o7]
     src7 = np.full(nch7 * STRIPE * LANES, -1, dtype=np.int64)
     src7[dst7] = r2[o7] * LANES + l2[o7]
     nblocks8 = -(-nrb1 // STRIPE) * STRIPE
@@ -1253,13 +1374,17 @@ def simulate_spmv3(plan: Spmv3Plan, x: np.ndarray, fill, reduce_kind="sum",
 
     nb_raw = (plan.fix_dst.max() + 1) if plan.fix_dst.size else 1
     y_mid = chunked_fold_arr(stack1, plan.fix_dst, int(nb_raw))
-    # hub rows: lane-⊕-fold the whole row into every lane before fix2
+    # hub rows: lane-⊕-fold at the row's slot width before fix2
     hm = plan.hub_mask
     if hm.size and hm.any():
-        hmp = np.zeros(y_mid.shape[0], dtype=bool)
+        hmp = np.zeros(y_mid.shape[0], dtype=np.uint8)
         hmp[:min(hm.size, y_mid.shape[0])] = hm[:y_mid.shape[0]]
-        folded = red.reduce(y_mid, axis=1, keepdims=True)
-        y_mid = np.where(hmp[:, None], folded, y_mid)
+        out = y_mid
+        for W in (32, 64, 128):
+            f = red.reduce(y_mid.reshape(-1, LANES // W, W), axis=2)
+            f = np.repeat(f, W, axis=1)
+            out = np.where((hmp == W)[:, None], f, out)
+        y_mid = out
     y_mid8 = np.full((-(-y_mid.shape[0] // STRIPE) * STRIPE, LANES), fill,
                      y_mid.dtype)
     y_mid8[:y_mid.shape[0]] = y_mid

@@ -170,12 +170,16 @@ def test_panel_kernels_match_simulator(kind):
     y_mid = colsum_chunks(jnp.asarray(stack1), jnp.asarray(plan.fix_dst),
                           -(-nrb // STRIPE) * STRIPE, kind, fill,
                           interpret=True)
-    hm = np.zeros(y_mid.shape[0], dtype=bool)
+    hm = np.zeros(y_mid.shape[0], dtype=np.uint8)
     hm[:min(plan.hub_mask.size, y_mid.shape[0])] = \
         plan.hub_mask[:y_mid.shape[0]]
-    folded = (jnp.sum(y_mid, axis=1, keepdims=True) if kind == "sum"
-              else jnp.min(y_mid, axis=1, keepdims=True))
-    y_mid = jnp.where(jnp.asarray(hm)[:, None], folded, y_mid)
+    hmj = jnp.asarray(hm.astype(np.int32))
+    for W in (32, 64, 128):
+        f = (jnp.sum(y_mid.reshape(-1, 128 // W, W), axis=2)
+             if kind == "sum"
+             else jnp.min(y_mid.reshape(-1, 128 // W, W), axis=2))
+        f = jnp.repeat(f, W, axis=1)
+        y_mid = jnp.where((hmj == W)[:, None], f, y_mid)
     stack2 = simulate_gather(plan.fix2g, np.asarray(y_mid), fill)
     y = colsum_chunks(jnp.asarray(stack2), jnp.asarray(plan.fix2_dst),
                       plan.nblocks, kind, fill, interpret=True)
