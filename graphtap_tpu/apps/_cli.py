@@ -13,7 +13,7 @@ Env::print_time env.hpp:130-133, checksum vertex_program.hpp:1944-1958):
 
 Usage: ``python -m graphtap_tpu.apps.pr <file> <nvertices> [<iters>]``
 (pr1, deg, cc, bfs, sssp analogous). Extra knob: --kernel
-shuffle2|shuffle|scan (default scan; shuffle2 is the TPU fast path).
+shuffle2|shuffle|scan (default scan; panel is the TPU fast path).
 """
 
 from __future__ import annotations
