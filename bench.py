@@ -14,8 +14,9 @@ excluding ingest and compile — the reference likewise benchmarks over
 pre-built RMAT binaries (graphtap.slurm:43-48), so host-side build
 artifacts (tiles, shuffle plans) are disk-cached in .bench_cache/.
 
-Env knobs: BENCH_KERNEL (shuffle|scan|segment, default shuffle),
-BENCH_SCALE, BENCH_ITERS.
+Env knobs: BENCH_KERNEL (panel|shuffle2|shuffle|scan|segment, default
+panel — the v3 all-static panel-route pipeline, the fastest validated
+kernel on-chip), BENCH_SCALE, BENCH_ITERS.
 """
 
 import json
@@ -31,7 +32,7 @@ SCALE = int(os.environ.get("BENCH_SCALE", "20"))
 EDGE_FACTOR = 16
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 SEED = 1
-KERNEL = os.environ.get("BENCH_KERNEL", "shuffle")
+KERNEL = os.environ.get("BENCH_KERNEL", "panel")
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 
@@ -119,32 +120,50 @@ def main():
     tiles_row, plans_row = get_artifacts(g, Ordering.ROW, KERNEL, jnp.float32)
     log(f"[bench] artifacts ready t={time.perf_counter()-t0:.0f}s")
 
+    t_c = time.perf_counter()
     deg_ex = Executor(g, DegreeProgram(value_dtype=jnp.float32),
                       EngineConfig(stationary=True, ordering=Ordering.COL),
                       tiles=tiles_col, kernel=KERNEL,
                       shuffle_plans=plans_col)
+    deg_ex.sync_uploads()
+    upload_s = time.perf_counter() - t_c
+    log(f"[bench] degree upload done ({upload_s:.1f}s) "
+        f"t={time.perf_counter()-t0:.0f}s")
     deg_ex.initialize()
     deg_ex.execute(1)
     log(f"[bench] degree phase done t={time.perf_counter()-t0:.0f}s")
 
+    t_c = time.perf_counter()
     pr_ex = Executor(g, PageRankProgram(value_dtype=jnp.float32),
                      EngineConfig(stationary=True, ordering=Ordering.ROW),
                      tiles=tiles_row, kernel=KERNEL,
                      shuffle_plans=plans_row)
+    pr_ex.sync_uploads()
+    upload_s += time.perf_counter() - t_c
+    log(f"[bench] pr upload done t={time.perf_counter()-t0:.0f}s")
     pr_ex.initialize(other=deg_ex)
 
     nnz = pr_ex.tiles.nnz_total
 
+    def fence(ex):
+        # block_until_ready over the axon tunnel is not a reliable fence
+        # (docs/KERNEL_NOTES.md): force a real data fetch of the state
+        for leaf in jax.tree.leaves(ex.state):
+            jax.device_get(leaf[(0,) * leaf.ndim])
+
     # warmup (compile) — run the full fixed-iteration loop once
     t_w = time.perf_counter()
     pr_ex.execute(ITERS)
+    fence(pr_ex)
     warmup_s = time.perf_counter() - t_w
     log(f"[bench] warmup done t={time.perf_counter()-t0:.0f}s")
 
     # timed: re-init and run again
     pr_ex.initialize(other=deg_ex)
+    fence(pr_ex)
     t1 = time.perf_counter()
     pr_ex.execute(ITERS)
+    fence(pr_ex)
     dt = time.perf_counter() - t1
 
     gteps = nnz * ITERS / dt / 1e9
@@ -183,6 +202,7 @@ def main():
             "checksum": round(checksum, 2), "kernel": KERNEL,
             "devices": len(jax.devices()),
             "warmup_seconds": round(warmup_s, 1),
+            "upload_seconds": round(upload_s, 1),
         },
     }))
 

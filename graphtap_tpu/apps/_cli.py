@@ -12,8 +12,10 @@ Env::print_time env.hpp:130-133, checksum vertex_program.hpp:1944-1958):
     Reachable vertices: <n>
 
 Usage: ``python -m graphtap_tpu.apps.pr <file> <nvertices> [<iters>]``
-(pr1, deg, cc, bfs, sssp analogous). Extra knob: --kernel
-shuffle2|shuffle|scan (default scan; panel is the TPU fast path).
+(pr1, deg, cc, bfs, sssp analogous). Extra knob: --kernel (default
+auto: the v3 panel pipeline — the fastest validated kernel on-chip —
+on TPU; the portable scan kernel elsewhere, where Pallas runs
+interpreted and plan building would dominate).
 """
 
 from __future__ import annotations
@@ -31,10 +33,14 @@ def app_main(name: str, run, third_arg: str = "iters", default_third=0):
     p.add_argument("file")
     p.add_argument("nvertices", type=int)
     p.add_argument(third_arg, type=int, nargs="?", default=default_third)
-    p.add_argument("--kernel", default="scan",
-                   choices=["scan", "segment", "shuffle", "shuffle2",
-                            "panel"])
+    p.add_argument("--kernel", default="auto",
+                   choices=["auto", "scan", "segment", "shuffle",
+                            "shuffle2", "panel"])
     args = p.parse_args()
+    if args.kernel == "auto":
+        import jax
+        args.kernel = "panel" if jax.devices()[0].platform == "tpu" \
+            else "scan"
 
     t0 = time.perf_counter()
     ex, t_exec = run(args.file, args.nvertices,

@@ -129,6 +129,14 @@ class Executor:
         return jax.device_put(
             arr, NamedSharding(self.mesh, _spec(arr.ndim - 1)))
 
+    def sync_uploads(self) -> None:
+        """Block until the constructor's async device_puts (tiles + plan
+        arrays) land on-device — lets callers attribute upload vs compile
+        time (device_put is otherwise fully asynchronous)."""
+        jax.block_until_ready(self._dev_tiles)
+        if getattr(self, "_shuffle_dev", None) is not None:
+            jax.block_until_ready(self._shuffle_dev)
+
     # ------------------------------------------------------------- lifecycle
     def initialize(self, other: Optional["Executor"] = None) -> None:
         """Build initial state (reference: initialize(), :444-503; the

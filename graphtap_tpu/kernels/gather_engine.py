@@ -53,36 +53,42 @@ class Spmv2Meta:
 
 
 def _pad_gather_plan(g: GatherPlan, nsteps: int, nsub: int,
-                     src_rows: int) -> GatherPlan:
-    """Pad one device's plan to the mesh-common (nsteps, nsub)."""
+                     src_rows: int,
+                     cidx_blocks: Optional[int] = None) -> GatherPlan:
+    """Pad one device's plan to the mesh-common (nsteps, nsub,
+    cidx_blocks).  The compact cidx only grows by zero blocks at the end
+    (never streamed: pad steps have nact=0, so their index_map repeats
+    the last active block); base pads with the total so pad steps'
+    ``base-1`` lands on that last active block."""
     br = g.block_rows
     gn = g.out_rows // br
     wsel = g.wsel.reshape(gn, g.nsub)
     if nsub > g.nsub:
         wsel = np.concatenate(
             [wsel, np.repeat(wsel[:, -1:], nsub - g.nsub, axis=1)], axis=1)
-        cidx = np.zeros((gn, nsub, SUB, LANES), dtype=np.int8)
-        cidx[:, :g.nsub] = g.cidx.reshape(gn, g.nsub, SUB, LANES)
-    else:
-        cidx = g.cidx.reshape(gn, g.nsub, SUB, LANES)
     if nsteps > gn:
         pad_w = np.repeat(wsel[-1:], nsteps - gn, axis=0) if gn else \
             np.zeros((nsteps - gn, nsub), np.int32)
         wsel = np.concatenate([wsel, pad_w], axis=0)
-        cidx = np.concatenate(
-            [cidx, np.zeros((nsteps - gn, nsub, SUB, LANES), np.int8)], axis=0)
         nact = np.concatenate([g.nact, np.zeros(nsteps - gn, np.int32)])
+        total = np.int32(g.nact.sum())
+        base = np.concatenate(
+            [g.base, np.full(nsteps - gn, total, np.int32)])
         meta = np.concatenate(
             [g.meta, np.full((nsteps - gn, br, LANES), SID_INVALID << 3,
                              np.uint8)], axis=0)
         src_of = np.concatenate(
             [g.src_of, np.full((nsteps - gn) * br * LANES, -1, np.int64)])
     else:
-        nact, meta, src_of = g.nact, g.meta, g.src_of
+        nact, base, meta, src_of = g.nact, g.base, g.meta, g.src_of
+    cidx = g.cidx
+    if cidx_blocks is not None and cidx_blocks > cidx.shape[0]:
+        cidx = np.concatenate(
+            [cidx, np.zeros((cidx_blocks - cidx.shape[0], SUB, LANES),
+                            np.int8)], axis=0)
     return GatherPlan(out_rows=nsteps * br, nsub=nsub, src_rows=src_rows,
-                      wsel=wsel.reshape(-1), nact=nact,
-                      cidx=cidx.reshape(nsteps * nsub, SUB, LANES),
-                      meta=meta, src_of=src_of, block_rows=br)
+                      wsel=wsel.reshape(-1), nact=nact, base=base,
+                      cidx=cidx, meta=meta, src_of=src_of, block_rows=br)
 
 
 def build_spmv2_meta(tiles: TileSet, value_dtype=np.float32,
@@ -139,13 +145,18 @@ def build_spmv2_meta(tiles: TileSet, value_dtype=np.float32,
             prev_rows = out_rows[k]
     final_rows = out_rows[f"p{NPASSES - 1}"]
 
+    cidx_blocks = {k: int(mh.global_max(max(g.cidx.shape[0]
+                                            for g in stage_plans(k))))
+                   for k in _STAGES}
     arrs: Dict[str, List[np.ndarray]] = {}
     has_w = tiles.weights is not None
     for b, p in enumerate(plans):
         for k in _STAGES:
             g = stage_plans(k)[b]
-            gp = _pad_gather_plan(g, out_rows[k] // SUB, nsub[k], src_rows[k])
+            gp = _pad_gather_plan(g, out_rows[k] // SUB, nsub[k],
+                                  src_rows[k], cidx_blocks[k])
             arrs.setdefault(f"{k}_wsel", []).append(gp.wsel)
+            arrs.setdefault(f"{k}_base", []).append(gp.base)
             arrs.setdefault(f"{k}_nact", []).append(gp.nact)
             arrs.setdefault(f"{k}_cidx", []).append(gp.cidx)
             arrs.setdefault(f"{k}_meta", []).append(gp.meta)
@@ -189,20 +200,20 @@ def spmv2_local(x, t: Dict, meta: Spmv2Meta, semiring: Semiring,
     x2d = xp.reshape(sxrows, LANES)
 
     buf = windowed_gather(
-        x2d, t["exp_wsel"], t["exp_nact"], t["exp_cidx"], t["exp_meta"],
-        t.get("w_stream"), fill, meta.out_rows["exp"], meta.nsub["exp"],
-        mul_kind=mul_kind, interpret=interpret)
+        x2d, t["exp_wsel"], t["exp_base"], t["exp_nact"], t["exp_cidx"],
+        t["exp_meta"], t.get("w_stream"), fill, meta.out_rows["exp"],
+        meta.nsub["exp"], mul_kind=mul_kind, interpret=interpret)
     for p in range(meta.npasses):
         k = f"p{p}"
         buf = windowed_gather(
-            buf, t[f"{k}_wsel"], t[f"{k}_nact"], t[f"{k}_cidx"],
-            t[f"{k}_meta"], None, fill, meta.out_rows[k], meta.nsub[k],
-            mul_kind="none", interpret=interpret)
+            buf, t[f"{k}_wsel"], t[f"{k}_base"], t[f"{k}_nact"],
+            t[f"{k}_cidx"], t[f"{k}_meta"], None, fill, meta.out_rows[k],
+            meta.nsub[k], mul_kind="none", interpret=interpret)
     y_blocks = grouped_reduce(
         buf, t["lr"], t["ev_r"], t["chunk_block"], meta.nblocks,
         semiring.reduce_kind, fill, rows_per_chunk=SUB, interpret=interpret)
     y_dense = windowed_gather(
-        y_blocks, t["mx_wsel"], t["mx_nact"], t["mx_cidx"], t["mx_meta"],
-        None, fill, meta.dense_rows, meta.nsub["mx"], mul_kind="none",
-        interpret=interpret)
+        y_blocks, t["mx_wsel"], t["mx_base"], t["mx_nact"], t["mx_cidx"],
+        t["mx_meta"], None, fill, meta.dense_rows, meta.nsub["mx"],
+        mul_kind="none", interpret=interpret)
     return y_dense.reshape(-1)[:dense_len]

@@ -48,9 +48,10 @@ SUB = 8
 SID_INVALID = 31
 
 
-def _wg_body(nsub, mul_kind, fill, has_w,
-             wsel_ref, nact_ref, src_ref, cidx_ref, meta_ref, w_ref,
-             out_ref):
+def _wg_body(nsub, mul_kind, fill, has_w, has_carry,
+             wsel_ref, base_ref, nact_ref, src_ref, cidx_ref, meta_ref,
+             w_ref, *rest):
+    out_ref = rest[-1]          # optional carry ref (aliased, unread)
     i = pl.program_id(0)
     s = pl.program_id(1)
 
@@ -98,39 +99,48 @@ def seg_round_rows(rows: int) -> int:
     return steps * SUB
 
 
-def windowed_gather(src2d, wsel, nact, cidx, meta, weights, fill,
+def windowed_gather(src2d, wsel, base, nact, cidx, meta, weights, fill,
                     out_rows: int, nsub: int, mul_kind: str = "none",
                     interpret: bool = False):
     """Segmented driver: one pallas_call per ≤SEG_STEPS-step segment (all
     segments share one kernel lowering). ``out_rows`` must be a multiple
-    of 8·SEG_STEPS when larger (the planner pads)."""
+    of 8·SEG_STEPS when larger (the planner pads).
+
+    ``cidx`` is the COMPACT active-subop stream (see GatherPlan); its
+    block for (step i, subop s) is ``max(base[i] + min(s, nact[i]-1), 0)``
+    — absolute, so segments receive the whole array unsliced."""
     nsteps = out_rows // SUB
     if nsteps <= SEG_STEPS:
-        return _windowed_gather_call(src2d, wsel, nact, cidx, meta, weights,
-                                     fill, out_rows, nsub, mul_kind,
-                                     interpret)
+        return _windowed_gather_call(src2d, wsel, base, nact, cidx, meta,
+                                     weights, fill, out_rows, nsub,
+                                     mul_kind, interpret)
     assert nsteps % SEG_STEPS == 0, (nsteps, SEG_STEPS)
-    outs = []
+    # segments write disjoint row ranges of ONE (out_rows,128) buffer via
+    # offset out_specs + input_output_aliasing — concatenating per-segment
+    # outputs copied the whole stream once more per stage
+    out = None
     for q in range(nsteps // SEG_STEPS):
         s0 = q * SEG_STEPS
-        outs.append(_windowed_gather_call(
+        out = _windowed_gather_call(
             src2d,
             jax.lax.dynamic_slice_in_dim(wsel, s0 * nsub, SEG_STEPS * nsub),
+            jax.lax.dynamic_slice_in_dim(base, s0, SEG_STEPS),
             jax.lax.dynamic_slice_in_dim(nact, s0, SEG_STEPS),
-            jax.lax.dynamic_slice_in_dim(cidx, s0 * nsub, SEG_STEPS * nsub),
+            cidx,
             jax.lax.dynamic_slice_in_dim(meta, s0, SEG_STEPS),
             (jax.lax.dynamic_slice_in_dim(weights, s0, SEG_STEPS)
              if weights is not None else None),
-            fill, SEG_STEPS * SUB, nsub, mul_kind, interpret))
-    return jnp.concatenate(outs, axis=0)
+            fill, SEG_STEPS * SUB, nsub, mul_kind, interpret,
+            full_rows=out_rows, step_offset=s0, carry=out)
+    return out
 
 
 BLK64 = 64
 SEG_STEPS64 = 1024   # 64-row steps per pallas_call (wsel prefetch budget)
 
 
-def _wg64_body(nsub, fill, wsel_ref, nact_ref, src_ref, cidx_ref, meta_ref,
-               out_ref):
+def _wg64_body(nsub, fill, wsel_ref, base_ref, nact_ref, src_ref, cidx_ref,
+               meta_ref, out_ref):
     i = pl.program_id(0)
     s = pl.program_id(1)
 
@@ -153,7 +163,7 @@ def _wg64_body(nsub, fill, wsel_ref, nact_ref, src_ref, cidx_ref, meta_ref,
                 out_ref[b * SUB:(b + 1) * SUB, :])
 
 
-def windowed_gather64(src2d, wsel, nact, cidx, meta, fill,
+def windowed_gather64(src2d, wsel, base, nact, cidx, meta, fill,
                       out_rows: int, nsub: int, interpret: bool = False):
     """64-row-block variant of windowed_gather: each (8,128) source window
     is fetched ONCE per 64-row output block and consumed by all 8 bands —
@@ -162,8 +172,8 @@ def windowed_gather64(src2d, wsel, nact, cidx, meta, fill,
     HBM rate. Plans come from build_gather_plan(block_rows=64)."""
     nsteps = out_rows // BLK64
     if nsteps <= SEG_STEPS64:
-        return _wg64_call(src2d, wsel, nact, cidx, meta, fill, out_rows,
-                          nsub, interpret)
+        return _wg64_call(src2d, wsel, base, nact, cidx, meta, fill,
+                          out_rows, nsub, interpret)
     assert nsteps % SEG_STEPS64 == 0, (nsteps, SEG_STEPS64)
     outs = []
     for q in range(nsteps // SEG_STEPS64):
@@ -172,9 +182,9 @@ def windowed_gather64(src2d, wsel, nact, cidx, meta, fill,
             src2d,
             jax.lax.dynamic_slice_in_dim(wsel, s0 * nsub,
                                          SEG_STEPS64 * nsub),
+            jax.lax.dynamic_slice_in_dim(base, s0, SEG_STEPS64),
             jax.lax.dynamic_slice_in_dim(nact, s0, SEG_STEPS64),
-            jax.lax.dynamic_slice_in_dim(cidx, s0 * nsub,
-                                         SEG_STEPS64 * nsub),
+            cidx,
             jax.lax.dynamic_slice_in_dim(meta, s0, SEG_STEPS64),
             fill, SEG_STEPS64 * BLK64, nsub, interpret))
     return jnp.concatenate(outs, axis=0)
@@ -189,41 +199,55 @@ def seg_round_rows64(rows: int) -> int:
     return steps * BLK64
 
 
-def _wg64_call(src2d, wsel, nact, cidx, meta, fill, out_rows: int,
+def _wg64_call(src2d, wsel, base, nact, cidx, meta, fill, out_rows: int,
                nsub: int, interpret: bool = False):
     nsteps = out_rows // BLK64
     kern = functools.partial(_wg64_body, nsub, fill)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nsteps, nsub),
         in_specs=[
             pl.BlockSpec((SUB, LANES),
-                         lambda i, s, w, n: (w[i * nsub + s], 0)),
-            pl.BlockSpec((1, SUB, LANES),
-                         lambda i, s, w, n: (i * nsub + s, 0, 0)),
-            pl.BlockSpec((1, BLK64, LANES), lambda i, s, w, n: (i, 0, 0)),
+                         lambda i, s, w, b, n: (w[i * nsub + s], 0)),
+            pl.BlockSpec((1, SUB, LANES), _cidx_map(nsub)),
+            pl.BlockSpec((1, BLK64, LANES),
+                         lambda i, s, w, b, n: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((BLK64, LANES), lambda i, s, w, n: (i, 0)),
+        out_specs=pl.BlockSpec((BLK64, LANES),
+                               lambda i, s, w, b, n: (i, 0)),
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((out_rows, LANES), src2d.dtype),
         interpret=interpret,
-    )(wsel, nact, src2d, cidx, meta)
+    )(wsel, base, nact, src2d, cidx.reshape(-1, SUB, LANES), meta)
 
 
-def _windowed_gather_call(src2d, wsel, nact, cidx, meta, weights, fill,
-                          out_rows: int, nsub: int, mul_kind: str = "none",
-                          interpret: bool = False):
+def _cidx_map(nsub):
+    """Block index of the compact cidx stream for (step i, subop s): the
+    step's active blocks are base[i]..base[i]+nact[i]-1; idle subops
+    repeat the last active block (revolving buffer skips the DMA)."""
+    def m(i, s, w, b, n):
+        return (jnp.maximum(b[i] + jnp.minimum(s, n[i] - 1), 0), 0, 0)
+    return m
+
+
+def _windowed_gather_call(src2d, wsel, base, nact, cidx, meta, weights,
+                          fill, out_rows: int, nsub: int,
+                          mul_kind: str = "none", interpret: bool = False,
+                          full_rows: int = 0, step_offset: int = 0,
+                          carry=None):
     """Run the windowed-gather kernel.
 
     src2d:   (S, 128) source table (S multiple of 8).
     wsel:    (nsteps*nsub,) int32 window block index (8-row units) per
              (step, subop); repeats the previous value on idle subops so
              the revolving input buffer skips the DMA.
+    base:    (nsteps,) int32 exclusive cumsum of nact (compact cidx base).
     nact:    (nsteps,) int32 active subop count per step.
-    cidx:    (nsteps*nsub, 8, 128) int8 source-lane index per window slot.
+    cidx:    (sum(nact), 8, 128) int8 source-lane index per window slot —
+             compact: active (step, subop) pairs only.
     meta:    (nsteps, 8, 128) uint8 per output slot: j(3 bits)|sid(5 bits);
              sid=31 marks an invalid slot (filled with ``fill``).
     weights: (nsteps, 8, 128) value-dtype ⊗-operand stream or None.
@@ -231,39 +255,44 @@ def _windowed_gather_call(src2d, wsel, nact, cidx, meta, weights, fill,
     """
     nsteps = out_rows // SUB
     has_w = weights is not None
-    kern = functools.partial(_wg_body, nsub, mul_kind, fill, has_w)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nsteps, nsub),
-        in_specs=[
-            pl.BlockSpec((SUB, LANES), lambda i, s, w, n: (w[i * nsub + s], 0)),
-            pl.BlockSpec((1, SUB, LANES), lambda i, s, w, n: (i * nsub + s, 0, 0)),
-            pl.BlockSpec((1, SUB, LANES), lambda i, s, w, n: (i, 0, 0)),
-            pl.BlockSpec((1, SUB, LANES), lambda i, s, w, n: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((SUB, LANES), lambda i, s, w, n: (i, 0)),
-    )
+    has_carry = carry is not None
+    kern = functools.partial(_wg_body, nsub, mul_kind, fill, has_w,
+                             has_carry)
+    cidx3 = cidx.reshape(-1, SUB, LANES)
+    in_specs = [
+        pl.BlockSpec((SUB, LANES),
+                     lambda i, s, w, b, n: (w[i * nsub + s], 0)),
+        pl.BlockSpec((1, SUB, LANES), _cidx_map(nsub)),
+        pl.BlockSpec((1, SUB, LANES), lambda i, s, w, b, n: (i, 0, 0)),
+    ]
     if has_w:
         wstream = weights
+        in_specs.append(
+            pl.BlockSpec((1, SUB, LANES), lambda i, s, w, b, n: (i, 0, 0)))
     else:
         wstream = jnp.zeros((1, SUB, LANES), src2d.dtype)
         # idle weight stream: constant index map keeps one resident block
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(nsteps, nsub),
-            in_specs=[
-                pl.BlockSpec((SUB, LANES),
-                             lambda i, s, w, n: (w[i * nsub + s], 0)),
-                pl.BlockSpec((1, SUB, LANES),
-                             lambda i, s, w, n: (i * nsub + s, 0, 0)),
-                pl.BlockSpec((1, SUB, LANES), lambda i, s, w, n: (i, 0, 0)),
-                pl.BlockSpec((1, SUB, LANES), lambda i, s, w, n: (0, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((SUB, LANES), lambda i, s, w, n: (i, 0)),
-        )
+        in_specs.append(
+            pl.BlockSpec((1, SUB, LANES), lambda i, s, w, b, n: (0, 0, 0)))
+    rows_total = full_rows if full_rows else out_rows
+    off = step_offset
+    args = [wsel, base, nact, src2d, cidx3, meta, wstream]
+    if has_carry:
+        # the carry is the same buffer, aliased to the output: this
+        # segment only rewrites its own row range (offset out_specs)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        args.append(carry)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nsteps, nsub),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((SUB, LANES),
+                               lambda i, s, w, b, n: (i + off, 0)),
+    )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((out_rows, LANES), src2d.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows_total, LANES), src2d.dtype),
+        input_output_aliases={7: 0} if has_carry else {},
         interpret=interpret,
-    )(wsel, nact, src2d, cidx, meta, wstream)
+    )(*args)

@@ -44,13 +44,22 @@ NPASSES = CODE_BITS // PASS_BITS
 
 @dataclass
 class GatherPlan:
-    """One windowed-gather application (see gather_kernels.windowed_gather)."""
+    """One windowed-gather application (see gather_kernels.windowed_gather).
+
+    ``cidx`` is stored COMPACT: one (8,128) block per ACTIVE (step, subop)
+    only — measured 84% of (step, subop) pairs are idle at RMAT-20 (avg
+    nact 3.9 vs nsub 24), so streaming a dense (nsteps*nsub) cidx wasted
+    ~5/6 of the pipeline's dominant byte stream.  The kernel reaches block
+    ``base[i] + min(s, nact[i]-1)`` via the prefetch-driven index_map;
+    idle subops repeat the step's last active block, so the revolving
+    input buffer skips the DMA entirely."""
     out_rows: int
     nsub: int
     src_rows: int
     wsel: np.ndarray        # (nsteps*nsub,) int32
     nact: np.ndarray        # (nsteps,) int32
-    cidx: np.ndarray        # (nsteps*nsub, 8, 128) int8
+    base: np.ndarray        # (nsteps,) int32 exclusive cumsum of nact
+    cidx: np.ndarray        # (sum(nact), 8, 128) int8 — compact, see above
     meta: np.ndarray        # (nsteps, block_rows, 128) uint8
     src_of: np.ndarray      # (out_rows*128,) int64 simulation (-1 = hole)
     block_rows: int = SUB   # output rows per step (8 or 64)
@@ -143,7 +152,6 @@ def build_gather_plan(src_rows: int, out_rows: int,
         nact = nact_per.astype(np.int32)
 
     wsel = np.zeros(nsteps * nsub, dtype=np.int32)
-    cidx = np.zeros((nsteps * nsub, SUB, LANES), dtype=np.int8)
     meta = np.full((nsteps, block_rows, LANES), SID_INVALID << 3,
                    dtype=np.uint8)
 
@@ -156,10 +164,15 @@ def build_gather_plan(src_rows: int, out_rows: int,
     np.maximum.accumulate(idx, out=idx)
     wsel = wsel[idx]
 
-    cidx[flat_sub, j_e, l] = c_e.astype(np.int8)
+    # compact cidx: block (base[step] + sid) per active (step, subop)
+    base = np.zeros(nsteps, dtype=np.int32)
+    base[1:] = np.cumsum(nact.astype(np.int64))[:-1].astype(np.int32)
+    total = max(1, int(nact.sum()))
+    cidx = np.zeros((total, SUB, LANES), dtype=np.int8)
+    cidx[base[step] + sid_e, j_e, l] = c_e.astype(np.int8)
     meta[step, ri, l] = (j_e | (sid_e << 3)).astype(np.uint8)
     return GatherPlan(out_rows=out_rows, nsub=nsub, src_rows=src_rows,
-                      wsel=wsel, nact=nact, cidx=cidx, meta=meta,
+                      wsel=wsel, nact=nact, base=base, cidx=cidx, meta=meta,
                       src_of=src_of, block_rows=block_rows)
 
 

@@ -77,6 +77,25 @@ def _pad_route_nwin(rt: RoutePlan, npanels: int, old_nwin: int,
                      sel_b=rt.sel_b, idx3=rt.idx3, src_rows=sr_new)
 
 
+def _append_fill_panel(rt: RoutePlan) -> RoutePlan:
+    """Append ONE panel whose output is pure ⊕-identity: its sel bands are
+    31 (never matched — nsrc_bands < 31 always holds here), so the stage-2
+    landing layers keep their fill initialization.  Producing the fill
+    stripe inside the route kernel replaces the jnp.concatenate append in
+    spmv3_local, which copied the whole 100+ MB stream every iteration
+    just to add one 4 KB stripe."""
+    return RoutePlan(
+        idx1=np.concatenate(
+            [rt.idx1, np.zeros((rt.src_rows, LANES), np.int8)]),
+        sel_a=np.concatenate(
+            [rt.sel_a, np.full((PROWS, LANES), 0xF8, np.uint8)]),
+        sel_b=np.concatenate(
+            [rt.sel_b, np.full((PROWS, LANES), 0xF8, np.uint8)]),
+        idx3=np.concatenate(
+            [rt.idx3, np.zeros((PROWS, LANES), np.uint8)]),
+        src_rows=rt.src_rows)
+
+
 def _pad_route(rt: RoutePlan, npanels: int, tgt: int) -> RoutePlan:
     """Pad a route plan with idle panels (streams zero: every slot reads
     source (0, 0) via layer a — a defined value; the pad panels' folds
@@ -147,18 +166,24 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
         out_rows[k] = orows
         src_rows[k] = sr_
 
+    cidx_blocks = {k: int(mh.global_max(max(getattr(p, k).cidx.shape[0]
+                                            for p in plans)))
+                   for k in ("xext", "fix2g", "mexp")}
     arrs: Dict[str, List[np.ndarray]] = {}
     for b, p in enumerate(plans):
         for k in ("xext", "fix2g", "mexp"):
             g = getattr(p, k)
             gp = _pad_gather_plan(g, out_rows[k] // g.block_rows, nsub[k],
-                                  src_rows[k])
+                                  src_rows[k], cidx_blocks[k])
             arrs.setdefault(f"{k}_wsel", []).append(gp.wsel)
+            arrs.setdefault(f"{k}_base", []).append(gp.base)
             arrs.setdefault(f"{k}_nact", []).append(gp.nact)
             arrs.setdefault(f"{k}_cidx", []).append(gp.cidx)
             arrs.setdefault(f"{k}_meta", []).append(gp.meta)
-        er = _pad_route(p.exp_route, p.exp_panels, exp_panels)
-        pr = _pad_route(p.pa_route, p.pa_panels, pa_panels)
+        er = _append_fill_panel(_pad_route(p.exp_route, p.exp_panels,
+                                           exp_panels))
+        pr = _append_fill_panel(_pad_route(p.pa_route, p.pa_panels,
+                                           pa_panels))
         fr = _pad_route(
             _pad_route_nwin(p.fixr_route, p.fix_panels, p.fixr_nwin,
                             fixr_nwin),
@@ -168,7 +193,11 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
             arrs.setdefault(f"{nm}_sela", []).append(rt.sel_a)
             arrs.setdefault(f"{nm}_selb", []).append(rt.sel_b)
             arrs.setdefault(f"{nm}_idx3", []).append(rt.idx3)
-        bases = np.full(pa_panels * nwin, exp_panels * 8, np.int32)
+        # pa bases cover the fill panel too: its windows read s0's fill
+        # panel (block exp_panels*8 — the first stripe past the real
+        # panels IS the fill panel now, same index as the old appended
+        # stripe)
+        bases = np.full((pa_panels + 1) * nwin, exp_panels * 8, np.int32)
         bases[:p.pa_bases.size] = p.pa_bases
         arrs.setdefault("pa_bases", []).append(bases)
         # fixr bases: pad nwin columns and panels with the fill block,
@@ -192,7 +221,8 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
         fd2[:p.fix2_dst.size] = p.fix2_dst
         arrs.setdefault("fix2_dst", []).append(fd2)
         if has_w:
-            ws = np.zeros((exp_panels * PROWS, LANES), dtype=value_dtype)
+            ws = np.zeros(((exp_panels + 1) * PROWS, LANES),
+                          dtype=value_dtype)
             if p.w_stream is not None:
                 ws[:p.w_stream.shape[0]] = p.w_stream
             arrs.setdefault("w_stream", []).append(ws)
@@ -221,23 +251,23 @@ def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
     x2d = xp.reshape(sx, LANES)
 
     x_ext = windowed_gather(
-        x2d, t["xext_wsel"], t["xext_nact"], t["xext_cidx"],
-        t["xext_meta"], None, fill, meta.out_rows["xext"],
-        meta.nsub["xext"], mul_kind="none", interpret=interpret)
+        x2d, t["xext_wsel"], t["xext_base"], t["xext_nact"],
+        t["xext_cidx"], t["xext_meta"], None, fill,
+        meta.out_rows["xext"], meta.nsub["xext"], mul_kind="none",
+        interpret=interpret)
+    # both routes emit their own trailing fill panel (meta panels + 1):
+    # the pa/fixr fill windows at blocks exp_panels*8 / pa_panels*8 land
+    # inside it — no concatenate-append of the 100+ MB streams
     s0 = route_expand(
         x_ext, t["exp_idx1"], t["exp_sela"], t["exp_selb"], t["exp_idx3"],
-        t.get("w_stream"), fill, meta.exp_panels, mul_kind=mul_kind,
+        t.get("w_stream"), fill, meta.exp_panels + 1, mul_kind=mul_kind,
         interpret=interpret)
-    s0p = jnp.concatenate(
-        [s0, jnp.full((STRIPE, LANES), fill, s0.dtype)], axis=0)
     s1 = route_passa(
-        s0p, t["pa_bases"], t["pa_idx1"], t["pa_sela"], t["pa_selb"],
-        t["pa_idx3"], fill, meta.pa_panels, meta.pa_nwin,
+        s0, t["pa_bases"], t["pa_idx1"], t["pa_sela"], t["pa_selb"],
+        t["pa_idx3"], fill, meta.pa_panels + 1, meta.pa_nwin,
         interpret=interpret)
-    s1f = jnp.concatenate(
-        [s1, jnp.full((STRIPE, LANES), fill, s1.dtype)], axis=0)
     stack1 = route_passa(
-        s1f, t["fixr_bases"], t["fixr_idx1"], t["fixr_sela"],
+        s1, t["fixr_bases"], t["fixr_idx1"], t["fixr_sela"],
         t["fixr_selb"], t["fixr_idx3"], fill, meta.fix_panels,
         meta.fixr_nwin, interpret=interpret)
     y_mid = colsum_chunks(stack1, t["fix_dst"], meta.nrb,
@@ -257,13 +287,14 @@ def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
         f = jnp.repeat(f, W, axis=1)
         y_mid = jnp.where((hm == W)[:, None], f, y_mid)
     stack2 = windowed_gather(
-        y_mid, t["fix2g_wsel"], t["fix2g_nact"], t["fix2g_cidx"],
-        t["fix2g_meta"], None, fill, meta.out_rows["fix2g"],
-        meta.nsub["fix2g"], mul_kind="none", interpret=interpret)
+        y_mid, t["fix2g_wsel"], t["fix2g_base"], t["fix2g_nact"],
+        t["fix2g_cidx"], t["fix2g_meta"], None, fill,
+        meta.out_rows["fix2g"], meta.nsub["fix2g"], mul_kind="none",
+        interpret=interpret)
     y = colsum_chunks(stack2, t["fix2_dst"], meta.nblocks,
                       semiring.reduce_kind, fill, interpret=interpret)
     y_dense = windowed_gather(
-        y, t["mexp_wsel"], t["mexp_nact"], t["mexp_cidx"], t["mexp_meta"],
-        None, fill, meta.out_rows["mexp"], meta.nsub["mexp"],
-        mul_kind="none", interpret=interpret)
+        y, t["mexp_wsel"], t["mexp_base"], t["mexp_nact"], t["mexp_cidx"],
+        t["mexp_meta"], None, fill, meta.out_rows["mexp"],
+        meta.nsub["mexp"], mul_kind="none", interpret=interpret)
     return y_dense.reshape(-1)[:dense_len]

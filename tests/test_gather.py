@@ -20,8 +20,9 @@ from graphtap_tpu.kernels import semiring as sr
 
 def _run_gather(plan, src2d, fill, weights=None, mul_kind="none"):
     return np.asarray(windowed_gather(
-        jnp.asarray(src2d), jnp.asarray(plan.wsel), jnp.asarray(plan.nact),
-        jnp.asarray(plan.cidx), jnp.asarray(plan.meta),
+        jnp.asarray(src2d), jnp.asarray(plan.wsel), jnp.asarray(plan.base),
+        jnp.asarray(plan.nact), jnp.asarray(plan.cidx),
+        jnp.asarray(plan.meta),
         jnp.asarray(weights) if weights is not None else None,
         fill, plan.out_rows, plan.nsub, mul_kind=mul_kind, interpret=True))
 
@@ -180,3 +181,20 @@ def test_spmv2_local_vs_dense(kind):
     expect = _dense_y(r.astype(np.int64), c.astype(np.int64), w, x,
                       part.tile_rows, semiring)
     np.testing.assert_allclose(y, expect, rtol=1e-4)
+
+
+def test_windowed_gather_segmented(monkeypatch):
+    """Multi-segment driver: segments write disjoint row ranges of one
+    aliased output buffer (offset out_specs) — force SEG_STEPS tiny so
+    the 3-segment path runs at test scale."""
+    from graphtap_tpu.kernels import gather_kernels as gk
+    monkeypatch.setattr(gk, "SEG_STEPS", 4)
+    rng = np.random.default_rng(7)
+    rows = 12 * SUB                      # 12 steps -> 3 segments of 4
+    n = rows * LANES
+    src_of = rng.permutation(n).astype(np.int64)
+    src_of[rng.random(n) < 0.2] = -1
+    plan = build_gather_plan(rows, rows, src_of)
+    src = rng.random((rows, LANES)).astype(np.float32)
+    out = _run_gather(plan, src, -5.0)
+    np.testing.assert_array_equal(out, simulate_gather(plan, src, -5.0))
