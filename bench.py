@@ -116,14 +116,20 @@ def main():
                       compression=Compression.TCSC)
     g = Graph.from_edges(src, dst, None, cfg, mesh=mesh)
 
-    tiles_col, plans_col = get_artifacts(g, Ordering.COL, KERNEL, jnp.float32)
-    tiles_row, plans_row = get_artifacts(g, Ordering.ROW, KERNEL, jnp.float32)
+    # degree phase = ONE SpMV outside the timed loop: the v1 shuffle
+    # kernel plans in seconds (counting sort), so only the PR ordering
+    # pays the panel planning cost
+    deg_kernel = "shuffle" if KERNEL in ("panel", "shuffle2") else KERNEL
+    tiles_col, plans_col = get_artifacts(g, Ordering.COL, deg_kernel,
+                                         jnp.float32)
+    tiles_row, plans_row = get_artifacts(g, Ordering.ROW, KERNEL,
+                                         jnp.float32)
     log(f"[bench] artifacts ready t={time.perf_counter()-t0:.0f}s")
 
     t_c = time.perf_counter()
     deg_ex = Executor(g, DegreeProgram(value_dtype=jnp.float32),
                       EngineConfig(stationary=True, ordering=Ordering.COL),
-                      tiles=tiles_col, kernel=KERNEL,
+                      tiles=tiles_col, kernel=deg_kernel,
                       shuffle_plans=plans_col)
     deg_ex.sync_uploads()
     upload_s = time.perf_counter() - t_c

@@ -27,12 +27,11 @@ from graphtap_tpu.kernels.panel_plan import (Spmv3Plan, build_spmv3_plan,
                                              RoutePlan, LANES, PROWS,
                                              STRIPE, XROWS)
 from graphtap_tpu.kernels.panel_kernels import (route_expand, route_passa,
-                                                colsum_chunks)
+                                                route_fold)
 from graphtap_tpu.kernels.gather_engine import _pad_gather_plan
 from graphtap_tpu.kernels.gather_kernels import (windowed_gather,
-                                                 windowed_gather64,
-                                                 seg_round_rows,
-                                                 seg_round_rows64)
+                                                 windowed_gather_fold,
+                                                 seg_round_rows)
 
 
 @dataclass
@@ -94,6 +93,58 @@ def _append_fill_panel(rt: RoutePlan) -> RoutePlan:
         idx3=np.concatenate(
             [rt.idx3, np.zeros((PROWS, LANES), np.uint8)]),
         src_rows=rt.src_rows)
+
+
+def _match_window_slots(bases: np.ndarray, rt: RoutePlan, nwin: int):
+    """Permute each panel's window->operand-slot assignment so windows
+    shared with the PREVIOUS panel keep their slot: the kernel's
+    revolving input buffers then skip the re-fetch (measured: pass-A
+    windows were 92% distinct fetches under the anchored slot order even
+    though consecutive panels' window SETS overlap heavily).  Rewrites
+    bases slot order, idx1 band rows and the sel band bits."""
+    npan = bases.size // nwin
+    b2 = bases.reshape(npan, nwin).copy()
+    sr = nwin * 8
+    idx1 = rt.idx1.reshape(npan, nwin, 8, LANES).copy()
+    sel_a = rt.sel_a.reshape(npan, PROWS, LANES).copy()
+    sel_b = rt.sel_b.reshape(npan, PROWS, LANES).copy()
+    prev_slot: Dict[int, List[int]] = {}
+    for t in range(nwin):
+        prev_slot.setdefault(int(b2[0, t]), []).append(t)
+    for p in range(1, npan):
+        row = b2[p].copy()
+        taken = np.zeros(nwin, dtype=bool)
+        perm = np.full(nwin, -1, dtype=np.int64)      # old slot -> new slot
+        # pass 1: keep shared windows on their previous slot
+        avail = {w: list(ts) for w, ts in prev_slot.items()}
+        for t in range(nwin):
+            ts = avail.get(int(row[t]))
+            if ts:
+                s = ts.pop()
+                if not taken[s]:
+                    perm[t] = s
+                    taken[s] = True
+        # pass 2: the rest take free slots
+        free = np.flatnonzero(~taken)
+        fi = 0
+        for t in range(nwin):
+            if perm[t] < 0:
+                perm[t] = free[fi]
+                fi += 1
+        b2[p, perm] = row
+        idx1[p, perm] = idx1[p].copy()
+        pi = np.arange(32, dtype=np.uint8)
+        pi[:nwin] = perm.astype(np.uint8)
+        sel_a[p] = (sel_a[p] & 7) | (pi[sel_a[p] >> 3] << 3)
+        sel_b[p] = (sel_b[p] & 7) | (pi[sel_b[p] >> 3] << 3)
+        prev_slot = {}
+        for t in range(nwin):
+            prev_slot.setdefault(int(b2[p, t]), []).append(t)
+    rt2 = RoutePlan(idx1=idx1.reshape(npan * sr, LANES),
+                    sel_a=sel_a.reshape(npan * PROWS, LANES),
+                    sel_b=sel_b.reshape(npan * PROWS, LANES),
+                    idx3=rt.idx3, src_rows=rt.src_rows)
+    return b2.reshape(-1), rt2
 
 
 def _pad_route(rt: RoutePlan, npanels: int, tgt: int) -> RoutePlan:
@@ -188,18 +239,12 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
             _pad_route_nwin(p.fixr_route, p.fix_panels, p.fixr_nwin,
                             fixr_nwin),
             p.fix_panels, fix_panels)
-        for nm, rt in (("exp", er), ("pa", pr), ("fixr", fr)):
-            arrs.setdefault(f"{nm}_idx1", []).append(rt.idx1)
-            arrs.setdefault(f"{nm}_sela", []).append(rt.sel_a)
-            arrs.setdefault(f"{nm}_selb", []).append(rt.sel_b)
-            arrs.setdefault(f"{nm}_idx3", []).append(rt.idx3)
         # pa bases cover the fill panel too: its windows read s0's fill
         # panel (block exp_panels*8 — the first stripe past the real
         # panels IS the fill panel now, same index as the old appended
         # stripe)
         bases = np.full((pa_panels + 1) * nwin, exp_panels * 8, np.int32)
         bases[:p.pa_bases.size] = p.pa_bases
-        arrs.setdefault("pa_bases", []).append(bases)
         # fixr bases: pad nwin columns and panels with the fill block,
         # rebasing the device-local fill id to the mesh-global one (the
         # fill block's CONTENT must be the ⊕-identity here)
@@ -208,7 +253,15 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
         lb = p.fixr_bases.reshape(p.fix_panels, p.fixr_nwin)
         fb[:p.fix_panels, :p.fixr_nwin] = np.where(
             lb >= p.pa_panels * STRIPE, gfill, lb)
-        arrs.setdefault("fixr_bases", []).append(fb.reshape(-1))
+        bases, pr = _match_window_slots(bases, pr, nwin)
+        fb, fr = _match_window_slots(fb.reshape(-1), fr, fixr_nwin)
+        arrs.setdefault("pa_bases", []).append(bases)
+        arrs.setdefault("fixr_bases", []).append(fb)
+        for nm, rt in (("exp", er), ("pa", pr), ("fixr", fr)):
+            arrs.setdefault(f"{nm}_idx1", []).append(rt.idx1)
+            arrs.setdefault(f"{nm}_sela", []).append(rt.sel_a)
+            arrs.setdefault(f"{nm}_selb", []).append(rt.sel_b)
+            arrs.setdefault(f"{nm}_idx3", []).append(rt.idx3)
         # pad chunks fold into the scratch row blocks
         fd = np.full(fix_panels * STRIPE, nrb - STRIPE, np.int32)
         fd[:p.fix_dst.size] = p.fix_dst
@@ -266,12 +319,11 @@ def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
         s0, t["pa_bases"], t["pa_idx1"], t["pa_sela"], t["pa_selb"],
         t["pa_idx3"], fill, meta.pa_panels + 1, meta.pa_nwin,
         interpret=interpret)
-    stack1 = route_passa(
+    y_mid = route_fold(
         s1, t["fixr_bases"], t["fixr_idx1"], t["fixr_sela"],
-        t["fixr_selb"], t["fixr_idx3"], fill, meta.fix_panels,
-        meta.fixr_nwin, interpret=interpret)
-    y_mid = colsum_chunks(stack1, t["fix_dst"], meta.nrb,
-                          semiring.reduce_kind, fill, interpret=interpret)
+        t["fixr_selb"], t["fixr_idx3"], t["fix_dst"], meta.nrb,
+        semiring.reduce_kind, fill, meta.fix_panels, meta.fixr_nwin,
+        interpret=interpret)
     # hub rows: lane-⊕-fold at the row's packed slot width (hub_mask
     # codes 32/64/128; several hubs share a row at 2^c-lane boundaries)
     # so fix2 reads one conflict-free cell per hub
@@ -286,13 +338,11 @@ def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
             f = jnp.max(y_mid.reshape(nr_, 128 // W, W), axis=2)
         f = jnp.repeat(f, W, axis=1)
         y_mid = jnp.where((hm == W)[:, None], f, y_mid)
-    stack2 = windowed_gather(
+    y = windowed_gather_fold(
         y_mid, t["fix2g_wsel"], t["fix2g_base"], t["fix2g_nact"],
-        t["fix2g_cidx"], t["fix2g_meta"], None, fill,
-        meta.out_rows["fix2g"], meta.nsub["fix2g"], mul_kind="none",
-        interpret=interpret)
-    y = colsum_chunks(stack2, t["fix2_dst"], meta.nblocks,
-                      semiring.reduce_kind, fill, interpret=interpret)
+        t["fix2g_cidx"], t["fix2g_meta"], t["fix2_dst"], meta.nblocks,
+        semiring.reduce_kind, fill, meta.out_rows["fix2g"],
+        meta.nsub["fix2g"], interpret=interpret)
     y_dense = windowed_gather(
         y, t["mexp_wsel"], t["mexp_base"], t["mexp_nact"], t["mexp_cidx"],
         t["mexp_meta"], None, fill, meta.out_rows["mexp"],

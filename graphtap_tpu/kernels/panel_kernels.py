@@ -83,6 +83,90 @@ def _route_body(nsrc_bands, mul_kind, fill, has_w, nwin_refs,
         out_ref[ob * STRIPE:(ob + 1) * STRIPE, :] = acc
 
 
+def _route_fold_body(nwin, reduce_kind, fill, bases_ref, dst_ref,
+                     *kern_args):
+    """3-stage route fused with the chunk ⊕-fold: instead of writing the
+    routed (64,128) panel to HBM for colsum_chunks to re-read, each
+    output band folds to one row in-register and RMWs the whole-VMEM y
+    table at its prefetched destination row — saves the full write+read
+    of the 150 MB fixup stack every iteration."""
+    i = pl.program_id(0)
+    srcs = kern_args[:nwin]
+    idx1_ref, sela_ref, selb_ref, idx3_ref = kern_args[nwin:nwin + 4]
+    y_ref = kern_args[-1]
+
+    @pl.when(i == 0)
+    def _():
+        y_ref[...] = jnp.full_like(y_ref, fill)
+
+    us = []
+    for b, sref in enumerate(srcs):
+        v = sref[...]
+        ix = idx1_ref[b * STRIPE:(b + 1) * STRIPE, :].astype(jnp.int32)
+        us.append(jnp.take_along_axis(v, ix, axis=1))
+
+    for ob in range(PROWS // STRIPE):
+        sla = sela_ref[ob * STRIPE:(ob + 1) * STRIPE, :].astype(jnp.int32)
+        slb = selb_ref[ob * STRIPE:(ob + 1) * STRIPE, :].astype(jnp.int32)
+        wa = jnp.full((STRIPE, LANES), fill, y_ref.dtype)
+        wb = jnp.full((STRIPE, LANES), fill, y_ref.dtype)
+        ra, ba = sla & 7, sla >> 3
+        rb, bb = slb & 7, slb >> 3
+        for sb in range(nwin):
+            ta = jnp.take_along_axis(us[sb], ra, axis=0)
+            wa = jnp.where(ba == sb, ta, wa)
+            tb = jnp.take_along_axis(us[sb], rb, axis=0)
+            wb = jnp.where(bb == sb, tb, wb)
+        i3 = idx3_ref[ob * STRIPE:(ob + 1) * STRIPE, :].astype(jnp.int32)
+        m = i3 & 127
+        ga = jnp.take_along_axis(wa, m, axis=1)
+        gb = jnp.take_along_axis(wb, m, axis=1)
+        acc = jnp.where(i3 >= 128, gb, ga)
+        d = dst_ref[i * (PROWS // STRIPE) + ob]
+        if reduce_kind == "sum":
+            part = jnp.sum(acc, axis=0, keepdims=True)
+            y_ref[pl.ds(d, 1), :] = y_ref[pl.ds(d, 1), :] + part
+        elif reduce_kind == "min":
+            part = jnp.min(acc, axis=0, keepdims=True)
+            y_ref[pl.ds(d, 1), :] = jnp.minimum(y_ref[pl.ds(d, 1), :], part)
+        else:
+            part = jnp.max(acc, axis=0, keepdims=True)
+            y_ref[pl.ds(d, 1), :] = jnp.maximum(y_ref[pl.ds(d, 1), :], part)
+
+
+def route_fold(stream0, bases, idx1, sel_a, sel_b, idx3, dst, nrows: int,
+               reduce_kind: str, fill, npanels: int, nwin: int,
+               interpret: bool = False):
+    """Fixup route + chunk fold in one kernel: route panels of ``stream0``
+    (read as ``nwin`` stripe windows at prefetched bases) and ⊕-fold each
+    routed 8-row band straight into row ``dst[p*8+ob]`` of the (nrows,
+    128) y table (the layout colsum_chunks produced from the stack)."""
+    kern = functools.partial(_route_fold_body, nwin, reduce_kind, fill)
+
+    def mk_spec(t):
+        return pl.BlockSpec((STRIPE, LANES),
+                            lambda i, b, d, t=t: (b[i * nwin + t], 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(npanels,),
+        in_specs=[mk_spec(t) for t in range(nwin)] + [
+            pl.BlockSpec((nwin * STRIPE, LANES), lambda i, b, d: (i, 0)),
+            pl.BlockSpec((PROWS, LANES), lambda i, b, d: (i, 0)),
+            pl.BlockSpec((PROWS, LANES), lambda i, b, d: (i, 0)),
+            pl.BlockSpec((PROWS, LANES), lambda i, b, d: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((nrows, LANES), lambda i, b, d: (0, 0)),
+    )
+    args = [bases, dst] + [stream0] * nwin + [idx1, sel_a, sel_b, idx3]
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nrows, LANES), stream0.dtype),
+        interpret=interpret,
+    )(*args)
+
+
 def route_expand(x_ext, idx1, sel_a, sel_b, idx3, weights, fill,
                  npanels: int, mul_kind: str = "none",
                  interpret: bool = False):
