@@ -48,8 +48,10 @@ class Spmv3Meta:
     fix2_chunks: int
     nrb: int                # y_mid rows (padded to 8, + 8 scratch)
     xext_rows: int
+    xr_nwin: int            # x->x_ext route window operands per panel
+    sx_rows: int            # padded x table rows
     has_w: bool
-    nsub: Dict[str, int]    # v2-gather stages: xext, fix2g, mexp
+    nsub: Dict[str, int]    # v2-gather stages: fix2g, mexp
     out_rows: Dict[str, int]
     src_rows: Dict[str, int]
     arrays: Dict[str, np.ndarray]
@@ -76,7 +78,7 @@ def _pad_route_nwin(rt: RoutePlan, npanels: int, old_nwin: int,
                      sel_b=rt.sel_b, idx3=rt.idx3, src_rows=sr_new)
 
 
-def _append_fill_panel(rt: RoutePlan) -> RoutePlan:
+def _append_fill_panel(rt: RoutePlan, out_rows: int = PROWS) -> RoutePlan:
     """Append ONE panel whose output is pure ⊕-identity: its sel bands are
     31 (never matched — nsrc_bands < 31 always holds here), so the stage-2
     landing layers keep their fill initialization.  Producing the fill
@@ -87,15 +89,16 @@ def _append_fill_panel(rt: RoutePlan) -> RoutePlan:
         idx1=np.concatenate(
             [rt.idx1, np.zeros((rt.src_rows, LANES), np.int8)]),
         sel_a=np.concatenate(
-            [rt.sel_a, np.full((PROWS, LANES), 0xF8, np.uint8)]),
+            [rt.sel_a, np.full((out_rows, LANES), 0xF8, np.uint8)]),
         sel_b=np.concatenate(
-            [rt.sel_b, np.full((PROWS, LANES), 0xF8, np.uint8)]),
+            [rt.sel_b, np.full((out_rows, LANES), 0xF8, np.uint8)]),
         idx3=np.concatenate(
-            [rt.idx3, np.zeros((PROWS, LANES), np.uint8)]),
+            [rt.idx3, np.zeros((out_rows, LANES), np.uint8)]),
         src_rows=rt.src_rows)
 
 
-def _match_window_slots(bases: np.ndarray, rt: RoutePlan, nwin: int):
+def _match_window_slots(bases: np.ndarray, rt: RoutePlan, nwin: int,
+                        out_rows: int = PROWS):
     """Permute each panel's window->operand-slot assignment so windows
     shared with the PREVIOUS panel keep their slot: the kernel's
     revolving input buffers then skip the re-fetch (measured: pass-A
@@ -106,8 +109,8 @@ def _match_window_slots(bases: np.ndarray, rt: RoutePlan, nwin: int):
     b2 = bases.reshape(npan, nwin).copy()
     sr = nwin * 8
     idx1 = rt.idx1.reshape(npan, nwin, 8, LANES).copy()
-    sel_a = rt.sel_a.reshape(npan, PROWS, LANES).copy()
-    sel_b = rt.sel_b.reshape(npan, PROWS, LANES).copy()
+    sel_a = rt.sel_a.reshape(npan, out_rows, LANES).copy()
+    sel_b = rt.sel_b.reshape(npan, out_rows, LANES).copy()
     prev_slot: Dict[int, List[int]] = {}
     for t in range(nwin):
         prev_slot.setdefault(int(b2[0, t]), []).append(t)
@@ -141,13 +144,14 @@ def _match_window_slots(bases: np.ndarray, rt: RoutePlan, nwin: int):
         for t in range(nwin):
             prev_slot.setdefault(int(b2[p, t]), []).append(t)
     rt2 = RoutePlan(idx1=idx1.reshape(npan * sr, LANES),
-                    sel_a=sel_a.reshape(npan * PROWS, LANES),
-                    sel_b=sel_b.reshape(npan * PROWS, LANES),
+                    sel_a=sel_a.reshape(npan * out_rows, LANES),
+                    sel_b=sel_b.reshape(npan * out_rows, LANES),
                     idx3=rt.idx3, src_rows=rt.src_rows)
     return b2.reshape(-1), rt2
 
 
-def _pad_route(rt: RoutePlan, npanels: int, tgt: int) -> RoutePlan:
+def _pad_route(rt: RoutePlan, npanels: int, tgt: int,
+               out_rows: int = PROWS) -> RoutePlan:
     """Pad a route plan with idle panels (streams zero: every slot reads
     source (0, 0) via layer a — a defined value; the pad panels' folds
     land in the scratch y row)."""
@@ -158,11 +162,11 @@ def _pad_route(rt: RoutePlan, npanels: int, tgt: int) -> RoutePlan:
         idx1=np.concatenate(
             [rt.idx1, np.zeros((ap * rt.src_rows, LANES), np.int8)]),
         sel_a=np.concatenate(
-            [rt.sel_a, np.zeros((ap * PROWS, LANES), np.uint8)]),
+            [rt.sel_a, np.zeros((ap * out_rows, LANES), np.uint8)]),
         sel_b=np.concatenate(
-            [rt.sel_b, np.zeros((ap * PROWS, LANES), np.uint8)]),
+            [rt.sel_b, np.zeros((ap * out_rows, LANES), np.uint8)]),
         idx3=np.concatenate(
-            [rt.idx3, np.zeros((ap * PROWS, LANES), np.uint8)]),
+            [rt.idx3, np.zeros((ap * out_rows, LANES), np.uint8)]),
         src_rows=rt.src_rows)
 
 
@@ -204,13 +208,15 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
     xext_rows = exp_panels * XROWS
     has_w = tiles.weights is not None
 
+    from graphtap_tpu.kernels.panel_plan import NWIN_X
+    xr_nwin = NWIN_X
+
     # v2 sub-gather dims
     nsub = {}
     out_rows = {}
     src_rows = {}
     sx = -(-(-(-NC // LANES)) // STRIPE) * STRIPE
-    for k, sr_, orows in (("xext", sx, seg_round_rows(xext_rows)),
-                          ("fix2g", nrb, fix2_chunks * STRIPE),
+    for k, sr_, orows in (("fix2g", nrb, fix2_chunks * STRIPE),
                           ("mexp", nblocks, dense_rows)):
         gs = [getattr(p, k) for p in plans]
         nsub[k] = int(mh.global_max(max(g.nsub for g in gs)))
@@ -219,10 +225,10 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
 
     cidx_blocks = {k: int(mh.global_max(max(getattr(p, k).cidx.shape[0]
                                             for p in plans)))
-                   for k in ("xext", "fix2g", "mexp")}
+                   for k in ("fix2g", "mexp")}
     arrs: Dict[str, List[np.ndarray]] = {}
     for b, p in enumerate(plans):
-        for k in ("xext", "fix2g", "mexp"):
+        for k in ("fix2g", "mexp"):
             g = getattr(p, k)
             gp = _pad_gather_plan(g, out_rows[k] // g.block_rows, nsub[k],
                                   src_rows[k], cidx_blocks[k])
@@ -235,6 +241,13 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
                                            exp_panels))
         pr = _append_fill_panel(_pad_route(p.pa_route, p.pa_panels,
                                            pa_panels))
+        # x -> x_ext route: pad + its own fill panel (content don't-care,
+        # read only by the exp fill panel whose sel is all-0xF8)
+        xr = _append_fill_panel(
+            _pad_route(p.xr_route, p.exp_panels, exp_panels,
+                       out_rows=XROWS), out_rows=XROWS)
+        xb = np.zeros((exp_panels + 1) * xr_nwin, np.int32)
+        xb[:p.xr_bases.size] = p.xr_bases
         fr = _pad_route(
             _pad_route_nwin(p.fixr_route, p.fix_panels, p.fixr_nwin,
                             fixr_nwin),
@@ -255,9 +268,11 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
             lb >= p.pa_panels * STRIPE, gfill, lb)
         bases, pr = _match_window_slots(bases, pr, nwin)
         fb, fr = _match_window_slots(fb.reshape(-1), fr, fixr_nwin)
+        xb, xr = _match_window_slots(xb, xr, xr_nwin, out_rows=XROWS)
         arrs.setdefault("pa_bases", []).append(bases)
         arrs.setdefault("fixr_bases", []).append(fb)
-        for nm, rt in (("exp", er), ("pa", pr), ("fixr", fr)):
+        arrs.setdefault("xr_bases", []).append(xb)
+        for nm, rt in (("exp", er), ("pa", pr), ("fixr", fr), ("xr", xr)):
             arrs.setdefault(f"{nm}_idx1", []).append(rt.idx1)
             arrs.setdefault(f"{nm}_sela", []).append(rt.sel_a)
             arrs.setdefault(f"{nm}_selb", []).append(rt.sel_b)
@@ -286,7 +301,8 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
                      pa_nwin=nwin, fix_panels=fix_panels,
                      fixr_nwin=fixr_nwin,
                      fix2_chunks=fix2_chunks, nrb=nrb,
-                     xext_rows=xext_rows, has_w=has_w, nsub=nsub,
+                     xext_rows=xext_rows, xr_nwin=xr_nwin, sx_rows=sx,
+                     has_w=has_w, nsub=nsub,
                      out_rows=out_rows, src_rows=src_rows, arrays=arrays)
 
 
@@ -298,16 +314,18 @@ def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
         mul_kind = "mul" if meta.has_w else "none"
     else:
         mul_kind = "add_sat" if meta.has_w else "none"
-    sx = meta.src_rows["xext"]
+    sx = meta.sx_rows
     xp = x if sx * LANES == x.shape[0] else jnp.concatenate(
         [x, jnp.full((sx * LANES - x.shape[0],), fill, x.dtype)])
     x2d = xp.reshape(sx, LANES)
 
-    x_ext = windowed_gather(
-        x2d, t["xext_wsel"], t["xext_base"], t["xext_nact"],
-        t["xext_cidx"], t["xext_meta"], None, fill,
-        meta.out_rows["xext"], meta.nsub["xext"], mul_kind="none",
-        interpret=interpret)
+    # x -> x_ext is a pass-A-flavor route over the panel's <= NWIN_X
+    # source x windows (one grid step per panel; replaced the windowed
+    # gather whose grid overhead was 55% of the kernel pipeline)
+    x_ext = route_passa(
+        x2d, t["xr_bases"], t["xr_idx1"], t["xr_sela"], t["xr_selb"],
+        t["xr_idx3"], fill, meta.exp_panels + 1, meta.xr_nwin,
+        interpret=interpret, out_rows=XROWS)
     # both routes emit their own trailing fill panel (meta panels + 1):
     # the pa/fixr fill windows at blocks exp_panels*8 / pa_panels*8 land
     # inside it — no concatenate-append of the 100+ MB streams

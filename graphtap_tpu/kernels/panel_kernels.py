@@ -56,7 +56,7 @@ def _route_body(nsrc_bands, mul_kind, fill, has_w, nwin_refs,
             band += 1
 
     # stages 2+3 per output band
-    for ob in range(PROWS // STRIPE):
+    for ob in range(out_ref.shape[0] // STRIPE):
         sla = sela_ref[ob * STRIPE:(ob + 1) * STRIPE, :].astype(jnp.int32)
         slb = selb_ref[ob * STRIPE:(ob + 1) * STRIPE, :].astype(jnp.int32)
         wa = jnp.full((STRIPE, LANES), fill, out_ref.dtype)
@@ -198,10 +198,12 @@ def route_expand(x_ext, idx1, sel_a, sel_b, idx3, weights, fill,
 
 
 def route_passa(stream0, bases, idx1, sel_a, sel_b, idx3, fill,
-                npanels: int, nwin: int, interpret: bool = False):
+                npanels: int, nwin: int, interpret: bool = False,
+                out_rows: int = PROWS):
     """Pass-A route: corner-turn reads of ``nwin`` stripe windows at
     prefetched bases (8-row block indices into stream0, which carries an
-    appended all-fill panel), then the 3-stage route."""
+    appended all-fill panel), then the 3-stage route.  ``out_rows`` = 64
+    for the contribution stream, 32 (XROWS) for the x->x_ext route."""
     kern = functools.partial(_route_body, nwin, "none", fill, False, nwin,
                              True)
 
@@ -214,17 +216,17 @@ def route_passa(stream0, bases, idx1, sel_a, sel_b, idx3, fill,
         grid=(npanels,),
         in_specs=[mk_spec(t) for t in range(nwin)] + [
             pl.BlockSpec((nwin * STRIPE, LANES), lambda i, b: (i, 0)),
-            pl.BlockSpec((PROWS, LANES), lambda i, b: (i, 0)),
-            pl.BlockSpec((PROWS, LANES), lambda i, b: (i, 0)),
-            pl.BlockSpec((PROWS, LANES), lambda i, b: (i, 0)),
+            pl.BlockSpec((out_rows, LANES), lambda i, b: (i, 0)),
+            pl.BlockSpec((out_rows, LANES), lambda i, b: (i, 0)),
+            pl.BlockSpec((out_rows, LANES), lambda i, b: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((PROWS, LANES), lambda i, b: (i, 0)),
+        out_specs=pl.BlockSpec((out_rows, LANES), lambda i, b: (i, 0)),
     )
     args = [bases] + [stream0] * nwin + [idx1, sel_a, sel_b, idx3]
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((npanels * PROWS, LANES),
+        out_shape=jax.ShapeDtypeStruct((npanels * out_rows, LANES),
                                        stream0.dtype),
         interpret=interpret,
     )(*args)

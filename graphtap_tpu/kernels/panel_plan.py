@@ -63,9 +63,16 @@ DUP_CAP = 128              # max edges per x_ext slot: hub columns get
                            # multiple slots so one source entry never
                            # starves its row's stage-1 lane entries
 DCAP = 96                  # stage-1 entry demand per x_ext row (of 128)
-BBLK_STEP = 14             # max distinct source x-blocks per 8-row step
-                           # of x_ext (keeps the x->x_ext gather
-                           # window-local)
+NWIN_X = 24                # max distinct source x windows per panel: the
+                           # x->x_ext ROUTE reads them as corner-turn
+                           # window operands (sel band encoding allows
+                           # <= 31; 24 leaves the no-match fill band and
+                           # bounds VMEM).  Replaced the windowed-gather
+                           # BBLK_STEP per-step bound — the gather spent
+                           # 37.5 ms/iter (44% of the superstep) on
+                           # (16384 x 24)-step grid overhead at RMAT-20
+                           # while the equivalent route costs ~1 grid
+                           # step per panel.
 
 
 def _concat_ranges(lengths: np.ndarray) -> np.ndarray:
@@ -104,7 +111,7 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
     fold lane) and two landing layers precede the final crossbar.
     Returns (RoutePlan, rows, lanes) with the chosen final positions."""
     N = src_r.size
-    assert N == npanels * PSLOTS, (N, npanels)
+    assert N <= npanels * PSLOTS, (N, npanels)
     free_lane = dst_lane is None
     nlayer = 2
     src_at = np.zeros((npanels, src_rows, LANES), dtype=np.int16)   # c+1
@@ -483,16 +490,21 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
 
     lane_of = lane_fin_arr if free_lane else dst_lane
     idx1 = np.zeros((npanels, src_rows, LANES), dtype=np.int8)
-    sel_a = np.zeros((npanels, PROWS, LANES), dtype=np.uint8)
-    sel_b = np.zeros((npanels, PROWS, LANES), dtype=np.uint8)
+    # sel default 0xF8 = band 31: never matched by the kernel's stage-2
+    # loop, so the landing stays at the ⊕-identity.  Fill slots simply
+    # point their idx3 at a cell with no layer-a landing — they no
+    # longer consume a source row (the old scheme read a reserved
+    # identity-holding source row, which route_x's x table doesn't have)
+    sel_a = np.full((npanels, PROWS, LANES), 0xF8, dtype=np.uint8)
+    sel_b = np.full((npanels, PROWS, LANES), 0xF8, dtype=np.uint8)
     idx3 = np.zeros((npanels, PROWS, LANES), dtype=np.uint8)
     nf_all = ~is_fill
     idx1[panel_of[nf_all], src_r[nf_all], m_of[nf_all]] = \
         src_c[nf_all].astype(np.int8)
     selv = ((src_r % STRIPE) | ((src_r // STRIPE) << 3)).astype(np.uint8)
-    ia = pick == 0
+    ia = (pick == 0) & nf_all
     sel_a[panel_of[ia], row_of[ia], m_of[ia]] = selv[ia]
-    ib = ~ia
+    ib = (pick != 0) & nf_all
     sel_b[panel_of[ib], row_of[ib], m_of[ib]] = selv[ib]
     idx3[panel_of, row_of, lane_of] = (m_of | (pick << 7)).astype(np.uint8)
     plan = RoutePlan(idx1=idx1.reshape(-1, LANES),
@@ -502,27 +514,31 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
     return plan, row_of, lane_of
 
 
-def simulate_route(plan: RoutePlan, v: np.ndarray, npanels: int
-                   ) -> np.ndarray:
-    """Numpy oracle of the 3-stage route kernel."""
+def simulate_route(plan: RoutePlan, v: np.ndarray, npanels: int,
+                   fill=0.0, out_rows: int = PROWS) -> np.ndarray:
+    """Numpy oracle of the 3-stage route kernel (sel band >= the source
+    band count = unmatched landing = ⊕-identity, like the kernel)."""
     sr = plan.src_rows
     v = v.reshape(npanels, sr, LANES)
     idx1 = plan.idx1.reshape(npanels, sr, LANES).astype(np.int64)
     u = np.take_along_axis(v, idx1, axis=2)
 
     def wlayer(sel):
-        sel = sel.reshape(npanels, PROWS, LANES).astype(np.int64)
-        srcrow = (sel & 7) + ((sel >> 3) & 31) * STRIPE
-        return np.take_along_axis(u, np.minimum(srcrow, sr - 1), axis=1)
+        sel = sel.reshape(npanels, out_rows, LANES).astype(np.int64)
+        band = (sel >> 3) & 31
+        srcrow = (sel & 7) + band * STRIPE
+        w = np.take_along_axis(u, np.minimum(srcrow, sr - 1), axis=1)
+        return np.where(band >= sr // STRIPE,
+                        np.asarray(fill, v.dtype), w)
 
     w_a = wlayer(plan.sel_a)
     w_b = wlayer(plan.sel_b)
-    i3 = plan.idx3.reshape(npanels, PROWS, LANES).astype(np.int64)
+    i3 = plan.idx3.reshape(npanels, out_rows, LANES).astype(np.int64)
     m = i3 & 127
     out = np.where(i3 >= 128,
                    np.take_along_axis(w_b, m, axis=2),
                    np.take_along_axis(w_a, m, axis=2))
-    return out.reshape(npanels * PROWS, LANES)
+    return out.reshape(npanels * out_rows, LANES)
 
 
 SPILL_CAP = 22     # subop budget per windowed-gather step before spilling
@@ -615,8 +631,11 @@ class Spmv3Plan:
     fixr_bases: np.ndarray  # (fix_panels * fixr_nwin,) int32 s1 blocks
     fixr_nwin: int
     fix_panels: int
+    # x -> x_ext route (pass-A kernel, out_rows=XROWS)
+    xr_route: RoutePlan
+    xr_bases: np.ndarray   # (exp_panels * NWIN_X,) int32 x-table blocks
+    sx_rows: int           # padded x table rows (x2d source)
     # v2 gather plans (windowed_gather) for the small stages
-    xext: "object"         # x -> x_ext
     fix2g: "object"        # y_mid -> stack2 (fix2_chunks*8 rows)
     mexp: "object"         # y_compact -> dense
     dense_rows: int
@@ -693,7 +712,8 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     # d0 quota (1024) or the distinct-column cap would overflow
     panel_of = np.zeros(E, dtype=np.int64)
     x_lists: List[np.ndarray] = []       # distinct cols per panel
-    xe_pos = np.zeros(E, dtype=np.int64)  # x_ext slot of each edge
+    slot_gid = np.zeros(E, dtype=np.int64)  # global x_ext slot per edge
+    slot_base = 0
     i = 0
     p = 0
     while i < E:
@@ -718,14 +738,12 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
             m = min(m, int(np.searchsorted(cdem, (XROWS - 1) * DCAP + 1)))
         if ndist[min(m, ndist.size) - 1] > XCAP:
             m = min(m, int(np.searchsorted(ndist, XCAP + 1)))
-        # bound the x->x_ext gather's source span PER STEP: any 8-row
-        # group of x_ext slots (~768) may reference <= BBLK_STEP distinct
-        # 8-row x blocks (sparse tails close panels early)
+        # bound the x->x_ext route's window operand count PER PANEL
+        # (sparse tails close panels early)
         xb = seg_c // (STRIPE * LANES)
         bchg = np.concatenate([[True], xb[1:] != xb[:-1]])
         nblk = np.cumsum(bchg)
-        allowed = BBLK_STEP * (1 + (ndist - 1) // (STRIPE * DCAP))
-        viol = np.flatnonzero(nblk[:m] > allowed[:m])
+        viol = np.flatnonzero(nblk[:m] > NWIN_X)
         if viol.size:
             m = min(m, max(1, int(viol[0])))
         # d0 quota: first index where any digit count exceeds 1024
@@ -735,35 +753,75 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
                 m = min(m, int(np.searchsorted(cnt, QUOTA + 1)))
         panel_of[i:i + m] = p
         u = seg_c[:m][slot_start[:m]]
-        # layout: column-sorted slots paced into rows by entry demand —
-        # monotone sources for the x->x_ext gather AND no starved rows
+        # dst stripes: column-sorted slots paced into stripes by stage-1
+        # entry demand (no starved rows); the route solver picks the
+        # exact (row-in-stripe, lane is fixed) landing
         sid = np.cumsum(slot_start[:m]) - 1
         sdem = np.where(slot_start[:m], demand_slot[:m], 0)
         slot_dem = sdem[slot_start[:m]]
         dem_excl = np.cumsum(slot_dem) - slot_dem
         rows_ = dem_excl // DCAP
         k_ = _concat_ranges(np.bincount(rows_, minlength=XROWS - 1))
-        # stagger lanes per row: without the rotation, a source x-row's
-        # columns continue at the SAME lanes in the next x_ext row, and
-        # every such (window, source-row, lane) pair costs the x->x_ext
-        # gather a conflict-layer subop (measured +10 subops at scale 20)
         lanes_ = (k_ + rows_ * 53) % SLOT_W
         assert rows_.max(initial=0) < XROWS - 1 and \
             k_.max(initial=0) < SLOT_W
         x_lists.append((u, rows_, lanes_))
-        xe_pos[i:i + m] = (p * XROWS * LANES + rows_[sid] * LANES
-                           + lanes_[sid])
+        slot_gid[i:i + m] = slot_base + sid
+        slot_base += u.size
         p += 1
         i += m
     exp_panels = max(1, p)
 
-    # ---- x_ext gather plan (v2 windowed_gather: x table -> x_ext)
-    xext_rows = exp_panels * XROWS
-    src_of_x = np.full(xext_rows * LANES, -1, dtype=np.int64)
-    for q, (u, rows_, lanes_) in enumerate(x_lists):
-        src_of_x[q * XROWS * LANES + rows_ * LANES + lanes_] = u
+    # ---- x -> x_ext ROUTE: each panel's <= NWIN_X source x windows are
+    # corner-turn operands (prefetched bases into the x table); the
+    # 3-stage route lands every distinct (col, dup-chunk) slot at its
+    # fixed lane in its demand-paced stripe.  Replaces the windowed
+    # gather, whose (nsteps x nsub) grid overhead dominated the superstep
+    # (36 ms/iter at RMAT-20 vs ~1 grid step per panel here).
     sxrows = -(-(-(-NC // LANES)) // STRIPE) * STRIPE
-    xext_plan = build_gather_plan(sxrows, xext_rows, src_of_x)
+    xext_rows = exp_panels * XROWS
+    xr_bases = np.zeros((exp_panels, NWIN_X), dtype=np.int32)
+    _srs, _scs, _dst, _dln, _pof = [], [], [], [], []
+    lanes_all = np.zeros(slot_base, dtype=np.int64)
+    sb_ = 0
+    for q, (u, rows_, lanes_) in enumerate(x_lists):
+        xb_ = u // (STRIPE * LANES)
+        wins = np.unique(xb_)
+        assert wins.size <= NWIN_X, (q, wins.size)
+        if wins.size:
+            xr_bases[q, :wins.size] = wins
+            xr_bases[q, wins.size:] = wins[-1]
+        band = np.searchsorted(wins, xb_)
+        _srs.append(band * STRIPE + (u // LANES) % STRIPE)
+        _scs.append(u % LANES)
+        _dst.append(rows_ // STRIPE)
+        _dln.append(lanes_)
+        _pof.append(np.full(u.size, q, np.int64))
+        lanes_all[sb_:sb_ + u.size] = lanes_
+        sb_ += u.size
+    if slot_base:
+        xr_route64, xr_rows_all, _ = _route_panels(
+            np.concatenate(_srs), np.concatenate(_scs),
+            np.concatenate(_dst), np.concatenate(_dln),
+            np.concatenate(_pof), exp_panels, NWIN_X * STRIPE)
+    else:
+        xr_route64, _r, _l = _route_panels(
+            np.zeros(0, np.int64), np.zeros(0, np.int64),
+            np.zeros(0, np.int64), np.zeros(0, np.int64),
+            np.zeros(0, np.int64), exp_panels, NWIN_X * STRIPE)
+        xr_rows_all = np.zeros(0, np.int64)
+    xr_route = RoutePlan(
+        idx1=xr_route64.idx1,
+        sel_a=xr_route64.sel_a.reshape(
+            exp_panels, PROWS, LANES)[:, :XROWS].reshape(-1, LANES),
+        sel_b=xr_route64.sel_b.reshape(
+            exp_panels, PROWS, LANES)[:, :XROWS].reshape(-1, LANES),
+        idx3=xr_route64.idx3.reshape(
+            exp_panels, PROWS, LANES)[:, :XROWS].reshape(-1, LANES),
+        src_rows=NWIN_X * STRIPE)
+    # actual x_ext position of each edge (solver-chosen row in stripe)
+    xe_pos = (panel_of * XROWS * LANES + xr_rows_all[slot_gid] * LANES
+              + lanes_all[slot_gid])
 
     # ---- expand route: x_ext panel -> d0-striped (64,128) panel.
     # Element dst: stripe d0, row/lane chosen by the router. Phantom
@@ -966,7 +1024,9 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
             fixr_route=fr0,
             fixr_bases=np.full(2, fill_b, np.int32), fixr_nwin=2,
             fix_panels=1,
-            xext=xext_plan, fix2g=fix2g, mexp=mexp0,
+            xr_route=xr_route, xr_bases=xr_bases.reshape(-1),
+            sx_rows=sxrows,
+            fix2g=fix2g, mexp=mexp0,
             dense_rows=dense_rows0)
     e_parow = _parows                      # actual routed rows (from pass A)
     s1_pos = e_pan * PSLOTS + e_parow * LANES + pa_lane
@@ -1311,7 +1371,8 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
         pa_bases=pa_bases, w_stream=w_stream, fix_dst=fix_dst,
         fix2_dst=fix2_dst, hub_mask=hub_mask, fixr_route=fixr_route,
         fixr_bases=fixr_bases.reshape(-1), fixr_nwin=fixr_nwin,
-        fix_panels=fix_panels, xext=xext_plan,
+        fix_panels=fix_panels,
+        xr_route=xr_route, xr_bases=xr_bases.reshape(-1), sx_rows=sxrows,
         fix2g=fix2g, mexp=mexp_plan, dense_rows=dense_rows)
 
 
@@ -1321,11 +1382,16 @@ def simulate_spmv3(plan: Spmv3Plan, x: np.ndarray, fill, reduce_kind="sum",
     (nblocks*128,). Mirrors the kernel sequence exactly."""
     from graphtap_tpu.kernels.gather_plan import simulate_gather
     red = {"sum": np.add, "min": np.minimum, "max": np.maximum}[reduce_kind]
-    sx = plan.xext.src_rows
+    sx = plan.sx_rows
     x2d = np.full((sx, LANES), fill, x.dtype)
     x2d.reshape(-1)[:x.size] = x
-    x_ext = simulate_gather(plan.xext, x2d, fill)
-    s0 = simulate_route(plan.exp_route, x_ext, plan.exp_panels)
+    # x -> x_ext route: stack NWIN_X window operands per panel
+    xb2 = x2d.reshape(-1, STRIPE, LANES)
+    nxp = plan.xr_bases.size // NWIN_X
+    vx = xb2[plan.xr_bases.reshape(nxp, NWIN_X)]
+    vx = vx.reshape(nxp * NWIN_X * STRIPE, LANES)
+    x_ext = simulate_route(plan.xr_route, vx, nxp, fill, out_rows=XROWS)
+    s0 = simulate_route(plan.exp_route, x_ext, plan.exp_panels, fill)
     if plan.w_stream is not None:
         if mul_kind == "mul":
             s0 = s0 * plan.w_stream
@@ -1337,7 +1403,7 @@ def simulate_spmv3(plan: Spmv3Plan, x: np.ndarray, fill, reduce_kind="sum",
          np.full((1, STRIPE, LANES), fill, s0.dtype)], axis=0)
     v = blocks[plan.pa_bases.reshape(plan.pa_panels, plan.pa_nwin)]
     v = v.reshape(plan.pa_panels * plan.pa_nwin * STRIPE, LANES)
-    s1 = simulate_route(plan.pa_route, v, plan.pa_panels)
+    s1 = simulate_route(plan.pa_route, v, plan.pa_panels, fill)
 
     def chunked_fold(src2d, gplan, dstv, nrows):
         stack = simulate_gather(gplan, src2d, fill)
@@ -1358,7 +1424,7 @@ def simulate_spmv3(plan: Spmv3Plan, x: np.ndarray, fill, reduce_kind="sum",
          np.full((1, STRIPE, LANES), fill, s1.dtype)], axis=0)
     vf = s1f[plan.fixr_bases.reshape(plan.fix_panels, plan.fixr_nwin)]
     vf = vf.reshape(plan.fix_panels * plan.fixr_nwin * STRIPE, LANES)
-    stack1 = simulate_route(plan.fixr_route, vf, plan.fix_panels)
+    stack1 = simulate_route(plan.fixr_route, vf, plan.fix_panels, fill)
 
     def chunked_fold_arr(stack, dstv, nrows):
         stack = stack.reshape(-1, STRIPE, LANES)

@@ -107,7 +107,7 @@ def load_spmv2_meta(path: str):
 # -------------------------------------------------------------- Spmv3Meta
 _S3_SCALARS = ("NC", "nblocks", "dense_rows", "exp_panels", "pa_panels",
                "pa_nwin", "fix_panels", "fixr_nwin", "fix2_chunks", "nrb",
-               "xext_rows",
+               "xext_rows", "xr_nwin", "sx_rows",
                "has_w", "nsub", "out_rows", "src_rows")
 
 

@@ -57,8 +57,8 @@ def _slots_per_iter(ex) -> int:
     if k == "shuffle2":
         return sum(m.out_rows.values()) * LANES
     if k == "panel":
-        from graphtap_tpu.kernels.panel_plan import PROWS
-        return (m.out_rows["xext"] + m.exp_panels * PROWS
+        from graphtap_tpu.kernels.panel_plan import PROWS, XROWS
+        return ((m.exp_panels + 1) * XROWS + m.exp_panels * PROWS
                 + m.pa_panels * PROWS + m.fix_panels * PROWS
                 + m.out_rows["fix2g"] + m.dense_rows) * LANES
     return ex.tiles.Ep

@@ -137,10 +137,17 @@ def test_panel_kernels_match_simulator(kind):
     y_ref = simulate_spmv3(plan, x, fill, reduce_kind=kind, mul_kind=mk)
 
     # kernel pipeline (interpret)
-    sx = plan.xext.src_rows
+    from graphtap_tpu.kernels.panel_plan import NWIN_X
+    sx = plan.sx_rows
     x2d = np.full((sx, LANES), fill, dtype)
     x2d.reshape(-1)[:NC] = x
-    x_ext = simulate_gather(plan.xext, x2d, fill)   # (v2 gather, tested)
+    x_ext = route_passa(jnp.asarray(x2d), jnp.asarray(plan.xr_bases),
+                        jnp.asarray(plan.xr_route.idx1),
+                        jnp.asarray(plan.xr_route.sel_a),
+                        jnp.asarray(plan.xr_route.sel_b),
+                        jnp.asarray(plan.xr_route.idx3),
+                        fill, plan.exp_panels, NWIN_X, interpret=True,
+                        out_rows=XROWS)
     w_stream = (jnp.asarray(plan.w_stream) if plan.w_stream is not None
                 else None)
     s0 = route_expand(jnp.asarray(x_ext), jnp.asarray(plan.exp_route.idx1),
