@@ -30,7 +30,6 @@ from graphtap_tpu.kernels.panel_kernels import (route_expand, route_passa,
                                                 route_fold)
 from graphtap_tpu.kernels.gather_engine import _pad_gather_plan
 from graphtap_tpu.kernels.gather_kernels import (windowed_gather,
-                                                 windowed_gather_fold,
                                                  seg_round_rows)
 
 
@@ -45,13 +44,15 @@ class Spmv3Meta:
     pa_nwin: int
     fix_panels: int         # fix-route panels (8 chunks each)
     fixr_nwin: int
-    fix2_chunks: int
+    fix2_chunks: int        # f2_panels * 8 (fix2_dst length)
+    f2_panels: int
+    f2_nwin: int
     nrb: int                # y_mid rows (padded to 8, + 8 scratch)
     xext_rows: int
     xr_nwin: int            # x->x_ext route window operands per panel
     sx_rows: int            # padded x table rows
     has_w: bool
-    nsub: Dict[str, int]    # v2-gather stages: fix2g, mexp
+    nsub: Dict[str, int]    # v2-gather stages: mexp
     out_rows: Dict[str, int]
     src_rows: Dict[str, int]
     arrays: Dict[str, np.ndarray]
@@ -193,7 +194,9 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
     pa_panels = int(mh.global_max(max(p.pa_panels for p in plans)))
     fix_panels = int(mh.global_max(max(p.fix_panels for p in plans)))
     fixr_nwin = int(mh.global_max(max(p.fixr_nwin for p in plans)))
-    fix2_chunks = int(mh.global_max(max(p.fix2_dst.size for p in plans)))
+    f2_panels = int(mh.global_max(max(p.f2_panels for p in plans)))
+    f2_nwin = int(mh.global_max(max(p.f2_nwin for p in plans)))
+    fix2_chunks = f2_panels * STRIPE
     nrb = int(mh.global_max(max(
         (int(p.fix_dst.max()) + 1 if p.fix_dst.size else 1)
         for p in plans)))
@@ -201,10 +204,6 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
     nblocks = int(mh.global_max(max(p.nblocks for p in plans))) + STRIPE
     dense_rows = seg_round_rows(
         int(mh.global_max(max(p.dense_rows for p in plans))))
-    # every windowed_gather out_rows must satisfy the segmented driver's
-    # SEG_STEPS contract (gather_kernels.seg_round_rows); pad chunks fold
-    # into the scratch rows / truncate away, so rounding up is free.
-    fix2_chunks = seg_round_rows(fix2_chunks * STRIPE) // STRIPE
     xext_rows = exp_panels * XROWS
     has_w = tiles.weights is not None
 
@@ -216,8 +215,7 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
     out_rows = {}
     src_rows = {}
     sx = -(-(-(-NC // LANES)) // STRIPE) * STRIPE
-    for k, sr_, orows in (("fix2g", nrb, fix2_chunks * STRIPE),
-                          ("mexp", nblocks, dense_rows)):
+    for k, sr_, orows in (("mexp", nblocks, dense_rows),):
         gs = [getattr(p, k) for p in plans]
         nsub[k] = int(mh.global_max(max(g.nsub for g in gs)))
         out_rows[k] = orows
@@ -225,10 +223,10 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
 
     cidx_blocks = {k: int(mh.global_max(max(getattr(p, k).cidx.shape[0]
                                             for p in plans)))
-                   for k in ("fix2g", "mexp")}
+                   for k in ("mexp",)}
     arrs: Dict[str, List[np.ndarray]] = {}
     for b, p in enumerate(plans):
-        for k in ("fix2g", "mexp"):
+        for k in ("mexp",):
             g = getattr(p, k)
             gp = _pad_gather_plan(g, out_rows[k] // g.block_rows, nsub[k],
                                   src_rows[k], cidx_blocks[k])
@@ -248,6 +246,14 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
                        out_rows=XROWS), out_rows=XROWS)
         xb = np.zeros((exp_panels + 1) * xr_nwin, np.int32)
         xb[:p.xr_bases.size] = p.xr_bases
+        # fix2 route_fold: pad panels/windows (pad windows read y_mid
+        # block 0; pad chunks' slots are unrouted = fill = fold identity)
+        f2 = _pad_route(
+            _pad_route_nwin(p.f2_route, p.f2_panels, p.f2_nwin, f2_nwin),
+            p.f2_panels, f2_panels)
+        f2b = np.zeros((f2_panels, f2_nwin), np.int32)
+        lb2 = p.f2_bases.reshape(p.f2_panels, p.f2_nwin)
+        f2b[:p.f2_panels, :p.f2_nwin] = lb2
         fr = _pad_route(
             _pad_route_nwin(p.fixr_route, p.fix_panels, p.fixr_nwin,
                             fixr_nwin),
@@ -269,10 +275,13 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
         bases, pr = _match_window_slots(bases, pr, nwin)
         fb, fr = _match_window_slots(fb.reshape(-1), fr, fixr_nwin)
         xb, xr = _match_window_slots(xb, xr, xr_nwin, out_rows=XROWS)
+        f2b, f2 = _match_window_slots(f2b.reshape(-1), f2, f2_nwin)
         arrs.setdefault("pa_bases", []).append(bases)
         arrs.setdefault("fixr_bases", []).append(fb)
         arrs.setdefault("xr_bases", []).append(xb)
-        for nm, rt in (("exp", er), ("pa", pr), ("fixr", fr), ("xr", xr)):
+        arrs.setdefault("f2_bases", []).append(f2b)
+        for nm, rt in (("exp", er), ("pa", pr), ("fixr", fr), ("xr", xr),
+                       ("f2", f2)):
             arrs.setdefault(f"{nm}_idx1", []).append(rt.idx1)
             arrs.setdefault(f"{nm}_sela", []).append(rt.sel_a)
             arrs.setdefault(f"{nm}_selb", []).append(rt.sel_b)
@@ -300,7 +309,8 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
                      exp_panels=exp_panels, pa_panels=pa_panels,
                      pa_nwin=nwin, fix_panels=fix_panels,
                      fixr_nwin=fixr_nwin,
-                     fix2_chunks=fix2_chunks, nrb=nrb,
+                     fix2_chunks=fix2_chunks, f2_panels=f2_panels,
+                     f2_nwin=f2_nwin, nrb=nrb,
                      xext_rows=xext_rows, xr_nwin=xr_nwin, sx_rows=sx,
                      has_w=has_w, nsub=nsub,
                      out_rows=out_rows, src_rows=src_rows, arrays=arrays)
@@ -356,11 +366,11 @@ def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
             f = jnp.max(y_mid.reshape(nr_, 128 // W, W), axis=2)
         f = jnp.repeat(f, W, axis=1)
         y_mid = jnp.where((hm == W)[:, None], f, y_mid)
-    y = windowed_gather_fold(
-        y_mid, t["fix2g_wsel"], t["fix2g_base"], t["fix2g_nact"],
-        t["fix2g_cidx"], t["fix2g_meta"], t["fix2_dst"], meta.nblocks,
-        semiring.reduce_kind, fill, meta.out_rows["fix2g"],
-        meta.nsub["fix2g"], interpret=interpret)
+    y = route_fold(
+        y_mid, t["f2_bases"], t["f2_idx1"], t["f2_sela"], t["f2_selb"],
+        t["f2_idx3"], t["fix2_dst"], meta.nblocks,
+        semiring.reduce_kind, fill, meta.f2_panels, meta.f2_nwin,
+        interpret=interpret)
     y_dense = windowed_gather(
         y, t["mexp_wsel"], t["mexp_base"], t["mexp_nact"], t["mexp_cidx"],
         t["mexp_meta"], None, fill, meta.out_rows["mexp"],

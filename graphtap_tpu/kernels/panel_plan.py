@@ -507,6 +507,21 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
     ib = (pick != 0) & nf_all
     sel_b[panel_of[ib], row_of[ib], m_of[ib]] = selv[ib]
     idx3[panel_of, row_of, lane_of] = (m_of | (pick << 7)).astype(np.uint8)
+    # UNROUTED slots (callers may route fewer than npanels*PSLOTS cells —
+    # the fix2 fold and x_ext holes) must read ⊕-identity, NOT whatever
+    # landed at (row, m=0): point them at a landing-free layer-a cell
+    # (sel 0xF8 there = unmatched band = fill)
+    if N < npanels * PROWS * LANES:
+        routed = np.zeros((npanels, PROWS, LANES), dtype=bool)
+        routed[panel_of, row_of, lane_of] = True
+        a_free = sel_a == 0xF8
+        m0 = np.argmax(a_free, axis=2)                    # first free m
+        has_free = np.take_along_axis(
+            a_free, m0[:, :, None], axis=2)[:, :, 0]
+        need = (~routed).any(axis=2)
+        assert np.all(has_free | ~need), "route: no fill cell in row"
+        idx3 = np.where(routed, idx3,
+                        m0[:, :, None].astype(np.uint8))
     plan = RoutePlan(idx1=idx1.reshape(-1, LANES),
                      sel_a=sel_a.reshape(-1, LANES),
                      sel_b=sel_b.reshape(-1, LANES),
@@ -635,8 +650,12 @@ class Spmv3Plan:
     xr_route: RoutePlan
     xr_bases: np.ndarray   # (exp_panels * NWIN_X,) int32 x-table blocks
     sx_rows: int           # padded x table rows (x2d source)
-    # v2 gather plans (windowed_gather) for the small stages
-    fix2g: "object"        # y_mid -> stack2 (fix2_chunks*8 rows)
+    # fix2 route_fold (y_mid cells -> compact y rows)
+    f2_route: RoutePlan
+    f2_bases: np.ndarray   # (f2_panels * f2_nwin,) int32 y_mid blocks
+    f2_nwin: int
+    f2_panels: int
+    # v2 gather plan (windowed_gather) for the final expansion
     mexp: "object"         # y_compact -> dense
     dense_rows: int
 
@@ -761,10 +780,14 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
         slot_dem = sdem[slot_start[:m]]
         dem_excl = np.cumsum(slot_dem) - slot_dem
         rows_ = dem_excl // DCAP
-        k_ = _concat_ranges(np.bincount(rows_, minlength=XROWS - 1))
-        lanes_ = (k_ + rows_ * 53) % SLOT_W
-        assert rows_.max(initial=0) < XROWS - 1 and \
-            k_.max(initial=0) < SLOT_W
+        # lanes round-robin over the STRIPE's slot sequence: same-lane
+        # load per stripe is then <= ceil(8*DCAP/SLOT_W) = 7 < 8 rows, so
+        # the fixed-lane route solver always has a spare row (the old
+        # per-row 53-stagger allowed 8-deep same-lane runs that made
+        # slots unplaceable at RMAT-20)
+        s_in = _concat_ranges(np.bincount(rows_ // STRIPE))
+        lanes_ = s_in % SLOT_W
+        assert rows_.max(initial=0) < XROWS - 1
         x_lists.append((u, rows_, lanes_))
         slot_gid[i:i + m] = slot_base + sid
         slot_base += u.size
@@ -1008,8 +1031,10 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
             np.tile(np.arange(LANES), PROWS),
             np.zeros(PSLOTS, np.int64), 1, 2 * STRIPE,
             fill_from=(2 - 1) * STRIPE)
-        fix2g = build_gather_plan(STRIPE, STRIPE,
-                                  np.full(STRIPE * LANES, -1, np.int64))
+        f2r0, _x, _y = _route_panels(
+            np.zeros(0, np.int64), np.zeros(0, np.int64),
+            np.zeros(0, np.int64), np.zeros(0, np.int64),
+            np.zeros(0, np.int64), 1, 2 * STRIPE)
         dense_rows0 = -(-(-(-dense_len // LANES)) // STRIPE) * STRIPE
         mexp0 = build_gather_plan(
             nblocks, dense_rows0, np.full(dense_rows0 * LANES, -1, np.int64))
@@ -1026,7 +1051,9 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
             fix_panels=1,
             xr_route=xr_route, xr_bases=xr_bases.reshape(-1),
             sx_rows=sxrows,
-            fix2g=fix2g, mexp=mexp0,
+            f2_route=f2r0, f2_bases=np.zeros(2, np.int32), f2_nwin=2,
+            f2_panels=1,
+            mexp=mexp0,
             dense_rows=dense_rows0)
     e_parow = _parows                      # actual routed rows (from pass A)
     s1_pos = e_pan * PSLOTS + e_parow * LANES + pa_lane
@@ -1335,23 +1362,89 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     # stacked deep); per (chunk, lane) depth stays <= 8 by construction
     maxst_b = np.zeros(max(nb7, 1), dtype=np.int64)
     np.maximum.at(maxst_b, bid7, t7 + 1)
-    dep7 = np.maximum(1, -(-maxst_b // STRIPE))
+    # depth-contiguous chunk assignment: DEPTH7 consecutive depth ranks
+    # (= consecutive y_mid rows, cells are row-sorted per destination)
+    # per chunk — keeps <= DEPTH7 per (chunk, lane) AND ~2 windows per
+    # chunk, which the route_fold's <= 31-window sel encoding needs
+    # (round-robin spread every chunk across its whole block's window
+    # span).  DEPTH7 = 7 leaves the fixed-lane solver one spare row per
+    # (chunk, lane) — at exactly 8 the greedy+repair placement has no
+    # slack and fails at scale.
+    DEPTH7 = STRIPE - 1
+    dep7 = np.maximum(1, -(-maxst_b // DEPTH7))
     ch07 = np.concatenate([[0], np.cumsum(dep7)])[:-1] if nb7 else \
         np.zeros(1, np.int64)
     cb7 = np.maximum(dep7[bid7], 1)
-    chunk7 = ch07[bid7] + t7 % cb7
+    chunk7 = ch07[bid7] + (t7 // DEPTH7) % cb7
     nch7 = int(dep7.sum()) if nb7 else 1
-    rr7 = t7 // cb7
-    assert int(rr7.max(initial=0)) < STRIPE
-    dst7 = (chunk7 * STRIPE + rr7) * LANES + lr2[o7]
-    src7 = np.full(nch7 * STRIPE * LANES, -1, dtype=np.int64)
-    src7[dst7] = r2[o7] * LANES + l2[o7]
-    nblocks8 = -(-nrb1 // STRIPE) * STRIPE
     fix2_dst = np.zeros(nch7, dtype=np.int32)
     if nb7:
         blk_of7 = b2[o7][np.flatnonzero(b7chg)]
         fix2_dst = np.repeat(blk_of7, dep7).astype(np.int32)
-    fix2g, fix2_dst = _gather_with_spill(nblocks8, src7, fix2_dst)
+    # fix2 is a route_fold, not a gather (the gather's 225k-inner-step
+    # grid cost 10 ms/iter at RMAT-20): windows = the panel's distinct
+    # y_mid 8-row blocks (block-major cell layout keeps them few); dst
+    # stripe = chunk position in panel, dst lane = lr (fixed), depth row
+    # chosen by the solver (<= 8 per (chunk, lane) by construction).
+    # Chunks pack into panels greedily under a window-union cap (a panel
+    # may close with < 8 chunks; the empty stripes are unrouted = fill).
+    F2_WCAP = 28
+    cr2, cl2 = r2[o7], l2[o7]
+    # per-chunk window sets, in chunk order
+    och = np.argsort(chunk7, kind="stable")
+    ch_s = chunk7[och]
+    wb_s = cr2[och] // STRIPE
+    chg = np.concatenate([[True], ch_s[1:] != ch_s[:-1]])
+    st9 = np.flatnonzero(chg)
+    en9 = np.concatenate([st9[1:], [ch_s.size]])
+    pan_of_chunk = np.zeros(nch7, dtype=np.int64)
+    stripe_of_chunk = np.zeros(nch7, dtype=np.int64)
+    pan_wins: List[np.ndarray] = []
+    cur: set = set()
+    cur_n = 0
+    pnl = 0
+    ci = 0
+    for s9, e9 in zip(st9.tolist(), en9.tolist()):
+        cw = set(np.unique(wb_s[s9:e9]).tolist())
+        if cur_n == STRIPE or len(cur | cw) > F2_WCAP:
+            pan_wins.append(np.asarray(sorted(cur), np.int64))
+            pnl += 1
+            cur, cur_n = set(), 0
+        cur |= cw
+        ch = int(ch_s[s9])
+        pan_of_chunk[ch] = pnl
+        stripe_of_chunk[ch] = cur_n
+        cur_n += 1
+        ci += 1
+    pan_wins.append(np.asarray(sorted(cur), np.int64))
+    f2_panels = max(1, pnl + 1)
+    f2_nwin = max(2, max((w.size for w in pan_wins), default=1))
+    assert f2_nwin <= 31, ("fix2 route window overflow", f2_nwin)
+    f2_bases = np.zeros((f2_panels, f2_nwin), dtype=np.int32)
+    for q, w_ in enumerate(pan_wins):
+        if w_.size:
+            f2_bases[q, :w_.size] = w_
+            f2_bases[q, w_.size:] = w_[-1]
+    f2_pof = pan_of_chunk[chunk7]
+    band8 = np.zeros(b2.size, dtype=np.int64)
+    # band of each cell within its panel's window list (segment-sliced)
+    op9 = np.argsort(f2_pof, kind="stable")
+    pof9 = f2_pof[op9]
+    pch9 = np.concatenate([[True], pof9[1:] != pof9[:-1]])
+    sp9 = np.flatnonzero(pch9)
+    ep9 = np.concatenate([sp9[1:], [pof9.size]])
+    for s9, e9 in zip(sp9.tolist(), ep9.tolist()):
+        w_ = pan_wins[int(pof9[s9])]
+        idxs = op9[s9:e9]
+        band8[idxs] = np.searchsorted(w_, cr2[idxs] // STRIPE)
+    f2_route64, _f2r, _f2l = _route_panels(
+        band8 * STRIPE + cr2 % STRIPE, cl2,
+        stripe_of_chunk[chunk7], lr2[o7], f2_pof, f2_panels,
+        f2_nwin * STRIPE)
+    # (panel, stripe)-indexed chunk destinations; empty stripes fold fill
+    fix2_dst_ps = np.zeros(f2_panels * STRIPE, dtype=np.int32)
+    fix2_dst_ps[pan_of_chunk * STRIPE + stripe_of_chunk] = fix2_dst
+    fix2_dst = fix2_dst_ps
 
     # ---- mexp: compact y -> dense rows (v2 gather)
     dense_rows = -(-(-(-dense_len // LANES)) // STRIPE) * STRIPE
@@ -1373,7 +1466,9 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
         fixr_bases=fixr_bases.reshape(-1), fixr_nwin=fixr_nwin,
         fix_panels=fix_panels,
         xr_route=xr_route, xr_bases=xr_bases.reshape(-1), sx_rows=sxrows,
-        fix2g=fix2g, mexp=mexp_plan, dense_rows=dense_rows)
+        f2_route=f2_route64, f2_bases=f2_bases.reshape(-1),
+        f2_nwin=f2_nwin, f2_panels=f2_panels,
+        mexp=mexp_plan, dense_rows=dense_rows)
 
 
 def simulate_spmv3(plan: Spmv3Plan, x: np.ndarray, fill, reduce_kind="sum",
@@ -1454,5 +1549,15 @@ def simulate_spmv3(plan: Spmv3Plan, x: np.ndarray, fill, reduce_kind="sum",
     y_mid8 = np.full((-(-y_mid.shape[0] // STRIPE) * STRIPE, LANES), fill,
                      y_mid.dtype)
     y_mid8[:y_mid.shape[0]] = y_mid
-    y = chunked_fold(y_mid8, plan.fix2g, plan.fix2_dst, plan.nblocks)
+    # fix2 route_fold: stack the panel's y_mid windows, route, fold each
+    # stripe into its block row
+    ymb = y_mid8.reshape(-1, STRIPE, LANES)
+    vf2 = ymb[np.minimum(plan.f2_bases.reshape(plan.f2_panels,
+                                               plan.f2_nwin),
+                         ymb.shape[0] - 1)]
+    vf2 = vf2.reshape(plan.f2_panels * plan.f2_nwin * STRIPE, LANES)
+    routed2 = simulate_route(plan.f2_route, vf2, plan.f2_panels, fill)
+    dstv = np.zeros(plan.f2_panels * STRIPE, np.int64)
+    dstv[:plan.fix2_dst.size] = plan.fix2_dst
+    y = chunked_fold_arr(routed2, dstv, plan.nblocks)
     return y.reshape(-1)

@@ -60,7 +60,7 @@ def _slots_per_iter(ex) -> int:
         from graphtap_tpu.kernels.panel_plan import PROWS, XROWS
         return ((m.exp_panels + 1) * XROWS + m.exp_panels * PROWS
                 + m.pa_panels * PROWS + m.fix_panels * PROWS
-                + m.out_rows["fix2g"] + m.dense_rows) * LANES
+                + m.f2_panels * PROWS + m.dense_rows) * LANES
     return ex.tiles.Ep
 
 

@@ -187,8 +187,18 @@ def test_panel_kernels_match_simulator(kind):
              else jnp.min(y_mid.reshape(-1, 128 // W, W), axis=2))
         f = jnp.repeat(f, W, axis=1)
         y_mid = jnp.where((hmj == W)[:, None], f, y_mid)
-    stack2 = simulate_gather(plan.fix2g, np.asarray(y_mid), fill)
-    y = colsum_chunks(jnp.asarray(stack2), jnp.asarray(plan.fix2_dst),
-                      plan.nblocks, kind, fill, interpret=True)
+    from graphtap_tpu.kernels.panel_kernels import route_fold
+    ym8 = np.full((-(-np.asarray(y_mid).shape[0] // STRIPE) * STRIPE,
+                   LANES), fill, dtype)
+    ym8[:np.asarray(y_mid).shape[0]] = np.asarray(y_mid)
+    dstv = np.zeros(plan.f2_panels * STRIPE, np.int32)
+    dstv[:plan.fix2_dst.size] = plan.fix2_dst
+    y = route_fold(jnp.asarray(ym8), jnp.asarray(plan.f2_bases),
+                   jnp.asarray(plan.f2_route.idx1),
+                   jnp.asarray(plan.f2_route.sel_a),
+                   jnp.asarray(plan.f2_route.sel_b),
+                   jnp.asarray(plan.f2_route.idx3),
+                   jnp.asarray(dstv), plan.nblocks, kind, fill,
+                   plan.f2_panels, plan.f2_nwin, interpret=True)
     np.testing.assert_allclose(np.asarray(y).reshape(-1), y_ref,
                                rtol=1e-5)
