@@ -79,9 +79,8 @@ def get_artifacts(graph, ordering, kernel, value_dtype):
     elif kernel == "panel":
         pp = os.path.join(CACHE,
                           f"plans3_{key}_{np.dtype(value_dtype).name}.npz")
-        if os.path.exists(pp):
-            plans = ac.load_spmv3_meta(pp)
-        else:
+        plans = ac.load_spmv3_meta(pp) if os.path.exists(pp) else None
+        if plans is None:       # absent OR stale format version
             from graphtap_tpu.kernels.panel_engine import build_spmv3_meta
             plans = build_spmv3_meta(tiles, value_dtype=np.dtype(value_dtype))
             ac.save_spmv3_meta(plans, pp)

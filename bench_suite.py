@@ -70,8 +70,17 @@ def nonstationary_apps(fh):
         ex = Executor(g, prog,
                       EngineConfig(ordering=Ordering.ROW, **eflags),
                       kernel=KERNEL)
+        ex.sync_uploads()
+        upload_s = time.perf_counter() - t0
+        log(f"[suite] {name}: " + ex.tiles.balance_report())
         ex.initialize()
         t_build = time.perf_counter() - t0
+        # warmup/compile pass, then re-init and time (the reference times
+        # over pre-built binaries with hot caches, graphtap.slurm:43-48)
+        t_w = time.perf_counter()
+        ex.execute(0)
+        warmup_s = time.perf_counter() - t_w
+        ex.initialize()
         t1 = time.perf_counter()
         iters = ex.execute(0)          # to convergence
         dt = time.perf_counter() - t1
@@ -83,7 +92,10 @@ def nonstationary_apps(fh):
                 "iterations": iters, "edges": int(nnz),
                 "gteps": round(nnz * iters / dt / 1e9, 4),
                 "checksum": cs, "reachable": reach, "kernel": KERNEL,
-                "build_seconds": round(t_build, 1)}})
+                "build_seconds": round(t_build, 1),
+                "upload_seconds": round(upload_s, 1),
+                "warmup_seconds": round(warmup_s, 1),
+                "imbalance": round(ex.tiles.edge_balance()["imbalance"], 3)}})
 
 
 def pagerank_large(fh):
@@ -107,8 +119,11 @@ def pagerank_large(fh):
                      EngineConfig(stationary=True, ordering=Ordering.ROW),
                      kernel=KERNEL)
     pr_ex.initialize(other=deg_ex)
+    log("[suite] pr: " + pr_ex.tiles.balance_report())
     iters = 5
+    t_w = time.perf_counter()
     pr_ex.execute(iters)               # warmup/compile
+    warmup_s = time.perf_counter() - t_w
     t_build = time.perf_counter() - t0
     pr_ex.initialize(other=deg_ex)
     t1 = time.perf_counter()
@@ -123,7 +138,10 @@ def pagerank_large(fh):
                    "seconds": round(dt, 3),
                    "gteps": round(nnz * iters / dt / 1e9, 4),
                    "checksum": round(cs, 2), "kernel": KERNEL,
-                   "build_seconds": round(t_build, 1)}})
+                   "build_seconds": round(t_build, 1),
+                   "warmup_seconds": round(warmup_s, 1),
+                   "imbalance": round(
+                       pr_ex.tiles.edge_balance()["imbalance"], 3)}})
 
 
 def scaling_table(fh):

@@ -48,6 +48,11 @@ def app_main(name: str, run, third_arg: str = "iters", default_third=0):
     t_total = time.perf_counter() - t0
 
     checksum, reachable = ex.checksum()
+    import jax
+    if jax.process_index() == 0:
+        # load-time balance report (reference: Matrix::balance,
+        # matrix.hpp:617-685, master-only print, threshold 0.2)
+        print(ex.tiles.balance_report())
     print(f"{name} end-to-end time: {t_total:f} seconds")
     print(f"Execute time: {t_exec:f} seconds")
     print(f"Iterations: {ex.iteration}")

@@ -16,16 +16,21 @@ class Compression(enum.Enum):
     """Tile compression format (reference: src/ds/compressed_column.hpp:17-23)."""
 
     CSC = "csc"            # plain CSC per tile
+    DCSC = "dcsc"          # doubly compressed: JC nnz-col indirection
     TCSC = "tcsc"          # triply compressed: renumbered nnz rows + nnz cols
     TCSC_CF = "tcsc_cf"    # TCSC + computation filtering (regular/source/sink)
 
-    # The reference's DCSC (compressed_column.hpp:156-271) is deliberately
-    # absent: its JC indirection compresses the per-tile x working set,
-    # which on the TPU layout is a property of the exchange (the sparse
-    # activity-filtered path in engine/executor.py), not the format —
-    # executing it would be byte-identical to CSC here. Likewise the
-    # _2D_/_2DT_ rank layouts (tiling.hpp:13-16) collapse into the single
-    # mesh-aligned layout of parallel/layout.py. See docs/PARITY.md.
+    # DCSC (reference: compressed_column.hpp:156-271) is implemented in its
+    # reference shape — column ids renumbered to compact nnz-col space and
+    # x gathered through the JC table (dcsc_spmv.hpp:216-230) — for the
+    # kernel lab's cross-format invariant. It is NOT the recommended
+    # distributed format here: the JC indirection compresses the per-tile x
+    # working set, which on the TPU layout is a property of the exchange
+    # (the sparse activity-filtered path in engine/executor.py), so the
+    # extra gather buys nothing the exchange doesn't already (measured in
+    # docs/PARITY.md §2.2). Likewise the _2D_/_2DT_ rank layouts
+    # (tiling.hpp:13-16) collapse into the single mesh-aligned layout of
+    # parallel/layout.py.
 
 
 class Ordering(enum.Enum):

@@ -87,6 +87,11 @@ class Executor:
         self.changed: Optional[jnp.ndarray] = None
         self.iteration: int = 0
         self._renumber = self.tiles.ir is not None
+        if (self.tiles.compression == Compression.DCSC
+                and kernel not in ("scan", "segment")):
+            raise ValueError(
+                "DCSC (compact col ids + JC gather) is a kernel-lab format;"
+                " only the scan/segment kernels consume it")
         self._apply_i_mask = self.tiles.compression in (
             Compression.TCSC, Compression.TCSC_CF)
         self._phase_tiles = {"main": self.tiles}
@@ -203,6 +208,11 @@ class Executor:
                 y_dense = y_comp
             return self._exchange_y(y_dense)
         w = tile["weights"][0] if tile["weights"] is not None else None
+        if "jc" in tile:
+            # DCSC: cols hold compact nnz-col ids — gather x through the
+            # JC table first (reference: the x[JC[j]] reads of the DCSC
+            # kernel, dcsc_spmv.hpp:216-230 / vertex_program.hpp:1186-1216)
+            x = jnp.take(x, tile["jc"][0], axis=0)
         if self.kernel == "scan":
             y_comp = spmv_sorted_scan(
                 x, tile["rows"][0], tile["cols"][0], w, tile["nnz"][0, 0],
@@ -354,14 +364,8 @@ class Executor:
 
     # --------------------------------------------------------------- TIMING
     @functools.cached_property
-    def _jit_phases(self):
-        """Per-phase jits for profiled execution (the -DTIMING analog,
-        reference: vertex_program.hpp:202-208). Each BSP phase runs as its
-        own shard_mapped XLA program so wall-clock fences land between
-        scatter_gather / combine / apply, at the cost of fusion."""
-        mesh = self.mesh
-        spec1 = _spec(1)
-        tspec = jax.tree.map(lambda _: spec1, dict(self._tile_pytree))
+    def _profiled_sg(self):
+        mesh, spec1 = self.mesh, _spec(1)
         prog, sem = self.program, self.program.semiring
 
         def sg(V, C):
@@ -371,9 +375,25 @@ class Executor:
                 m = jnp.where(C[0], m, sem.identity_like(m.dtype))
             return self._exchange_x(m, C[0])[None]
 
+        return jax.jit(jax.shard_map(
+            sg, mesh=mesh, in_specs=(spec1, spec1), out_specs=spec1,
+            check_vma=False))
+
+    @functools.lru_cache(maxsize=None)
+    def _profiled_phase_jits(self, phase: str):
+        """combine/apply jits for one tile phase ('main', or the TCSC_CF
+        'first'/'middle'/'last' plans — the fused loop's _cf_pytrees,
+        reference: spmv_stationary phase gating vertex_program.hpp:
+        1243-1320).  Per-phase because the kernel meta baked into the
+        closure is phase-static."""
+        mesh, spec1 = self.mesh, _spec(1)
+        tree = self._tile_pytree if phase == "main" else \
+            self._cf_pytrees[phase]
+        tspec = jax.tree.map(lambda _: spec1, dict(tree))
+
         def combine(x, tile):
             tile = self._tile_with_w(tile)
-            return self._combine(x[0], tile)[None]
+            return self._combine(x[0], tile, phase)[None]
 
         def apply_(V, C, y, tile, it):
             Vl = {k: v[0] for k, v in V.items()}
@@ -384,9 +404,7 @@ class Executor:
                     votes)
 
         return {
-            "scatter_gather": jax.jit(jax.shard_map(
-                sg, mesh=mesh, in_specs=(spec1, spec1), out_specs=spec1,
-                check_vma=False)),
+            "tree": tree,
             "combine": jax.jit(jax.shard_map(
                 combine, mesh=mesh, in_specs=(spec1, tspec),
                 out_specs=spec1, check_vma=False)),
@@ -400,33 +418,67 @@ class Executor:
                          printer=print) -> "PhaseTimer":
         """Run with per-phase wall-clock timing and per-iteration progress
         (the reference's -DTIMING mode + ``Iteration: n`` lines,
-        vertex_program.hpp:422, :2134-2152). Returns the PhaseTimer."""
+        vertex_program.hpp:422, :2134-2152). Returns the PhaseTimer.
+
+        Result-identical to execute(): TCSC_CF runs the first/middle/last
+        phase plans in the same positions as the fused loops, and
+        convergence mode ends with the post-convergence flush — one extra
+        combine+apply from the stale x (reference :425-429), using the
+        'last' CF phase where the fused _run_converge_cf does."""
         from graphtap_tpu.tools.timing import PhaseTimer
         if self.state is None:
             self.initialize()
         timer = timer or PhaseTimer()
-        ph = self._jit_phases
+        sg = self._profiled_sg
+        is_cf = self.tiles.compression == Compression.TCSC_CF
         V, C = self.state, self.changed
         # num_iterations <= 0 = run to convergence (the reference's default
         # execute(0) mode, vertex_program.hpp:412-413)
+        converge = not (num_iterations and num_iterations > 0)
+        max_it = _MAX_CONVERGENCE_ITERS if converge else num_iterations
         it = -1
-        max_it = num_iterations if num_iterations and num_iterations > 0 \
-            else _MAX_CONVERGENCE_ITERS
+        x = None
+        converged = False
+        use_cf = is_cf and (converge or max_it > 1)   # execute() parity:
+        # a 1-iteration CF run uses the main tiles (executor.execute)
+        if use_cf:
+            self._cf_pytrees          # materialize phase plans once
         for it in range(max_it):
+            if not use_cf:
+                phase = "main"
+            elif it == 0:
+                phase = "first"
+            elif not converge and it == max_it - 1:
+                phase = "last"
+            else:
+                phase = "middle"
+            ph = self._profiled_phase_jits(phase)
             with timer.phase("scatter_gather"):
-                x = ph["scatter_gather"](V, C)
+                x = sg(V, C)
                 jax.block_until_ready(x)
             with timer.phase("combine"):
-                y = ph["combine"](x, self._tile_pytree)
+                y = ph["combine"](x, ph["tree"])
                 jax.block_until_ready(y)
             with timer.phase("apply"):
-                V, C, votes = ph["apply"](V, C, y, self._tile_pytree,
+                V, C, votes = ph["apply"](V, C, y, ph["tree"],
                                           jnp.int32(it))
                 jax.block_until_ready(V)
             if printer is not None:
                 printer(f"Iteration: {it + 1}")
-            if int(votes) == self.part.D:
+            if converge and int(votes) == self.part.D:
+                converged = True
                 break
+        if converge and converged and x is not None:
+            # post-convergence flush with the stale x (reference :425-429):
+            # x of the final iteration is exactly all_gather(m_stale)
+            ph = self._profiled_phase_jits("last" if use_cf else "main")
+            with timer.phase("combine"):
+                y = ph["combine"](x, ph["tree"])
+                jax.block_until_ready(y)
+            with timer.phase("apply"):
+                V, C, _v = ph["apply"](V, C, y, ph["tree"],
+                                       jnp.int32(it + 1))
+                jax.block_until_ready(V)
         self.state, self.changed = V, C
         self.iteration = it + 1
         if printer is not None:
@@ -463,6 +515,8 @@ class Executor:
             t.pop(k, None)
         if t.get("iv_dense") is None:
             t.pop("iv_dense", None)
+        if t.get("jc") is None:
+            t.pop("jc", None)
         if t["weights"] is None:
             t.pop("weights")
             self._has_w = False

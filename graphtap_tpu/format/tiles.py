@@ -11,9 +11,11 @@ devices and masked.
 
 Format notes (reference: compressed_column.hpp):
   * CSC  — row ids are raw local rows; y is dense over the row block.
-  * DCSC — deliberately absent (see config.py): on this layout its JC
-           indirection is the exchange's job, and execution would be
-           byte-identical to CSC.
+  * DCSC — reference shape (compressed_column.hpp:156-271): column ids
+           renumbered into the compact nnz-col space and a JC table
+           mapping compact id -> dense local col, so the kernel gathers
+           x through JC (dcsc_spmv.hpp:216-230). Kernel-lab format; see
+           config.py for why TCSC is the distributed default.
   * TCSC — the paper's format: row ids renumbered to dense nnz-row indices
            shared across the whole mesh row ("row group"), so the segment
            reduction targets a compact [0, nnzrows) space and the
@@ -73,6 +75,10 @@ class TileSet:
     source_own: np.ndarray       # (D, L) bool — i_own & ~j_own (rows w/o cols)
     sink_own: np.ndarray         # (D, L) bool — j_own & ~i_own (cols w/o rows)
     nnzcols: np.ndarray          # (D, 1) int32 nnz cols of the device's col group
+    # DCSC only: compact col id -> dense local col (reference JC,
+    # compressed_column.hpp:163); cols then hold compact ids and the
+    # kernel gathers x through this table (dcsc_spmv.hpp:216-230)
+    jc: Optional[np.ndarray] = None   # (D, NCp) int32 or None
 
     def device_arrays(self, mesh: Mesh):
         """Place the stacked arrays on the mesh (leading axis device-sharded).
@@ -98,6 +104,7 @@ class TileSet:
             "regular_own": put(self.regular_own),
             "source_own": put(self.source_own),
             "sink_own": put(self.sink_own),
+            "jc": put(self.jc),
         }
 
     def edge_balance(self) -> dict:
@@ -110,6 +117,18 @@ class TileSet:
             "max": float(counts.max() if counts.size else 0),
             "imbalance": float((counts.max() / mean - 1.0) if mean > 0 else 0.0),
         }
+
+    def balance_report(self, threshold: float = 0.2) -> str:
+        """Master-style one-line balance report printed at load (the
+        reference prints per-rank/rowgroup/colgroup imbalance with skip
+        threshold 0.2, matrix.hpp:617-685 — report only, like there)."""
+        b = self.edge_balance()
+        line = (f"Edge balance: edges={self.nnz_total} "
+                f"mean/dev={b['mean']:.0f} max/dev={b['max']:.0f} "
+                f"imbalance={b['imbalance']:.3f}")
+        if b["imbalance"] > threshold:
+            line += f" (exceeds threshold {threshold})"
+        return line
 
 
 def classify_vertices(r: np.ndarray, c: np.ndarray, n_pad: int):
@@ -231,6 +250,12 @@ def build_tileset(
     nnzcols_grp = cols_mask.sum(axis=1).astype(np.int64)   # per mesh col
 
     renumber = compression in (Compression.TCSC, Compression.TCSC_CF)
+    # DCSC: columns renumbered to compact nnz-col ids; JV is the col-side
+    # prefix renumbering (reference: DCSC_BASE::populate indexing via
+    # nnzcols_indices, compressed_column.hpp:237-271)
+    renumber_cols = compression == Compression.DCSC
+    jv = np.cumsum(cols_mask, axis=1, dtype=np.int64) - 1 \
+        if renumber_cols else None
 
     # --- per-device binning (native counting sort when available;
     # replaces the MPI all-to-all shuffle, matrix.hpp:692-810)
@@ -293,6 +318,10 @@ def build_tileset(
     iv_arr = np.full((D, C * L), -1, dtype=np.int32) if renumber else None
     nnzrows_arr = np.zeros((D, 1), dtype=np.int32)
     nnzcols_arr = np.zeros((D, 1), dtype=np.int32)
+    jc_arr = None
+    if renumber_cols:
+        NCp = _round_up(int(max(nnzcols_grp.max(), 1)), 128)
+        jc_arr = np.zeros((D, NCp), dtype=np.int32)
 
     for b in range(D):
         i, j = divmod(b, C)
@@ -305,7 +334,12 @@ def build_tileset(
         rows_arr[b, :n] = seg_ids
         if n < Ep:  # pad with last valid id to keep sortedness
             rows_arr[b, n:] = seg_ids[-1] if n else 0
-        cols_arr[b, :n] = blc
+        if renumber_cols:
+            cols_arr[b, :n] = jv[j, blc]
+            nzc = np.flatnonzero(cols_mask[j])
+            jc_arr[b, :nzc.size] = nzc
+        else:
+            cols_arr[b, :n] = blc
         if w_arr is not None and bw is not None:
             w_arr[b, :n] = bw
         nnz_arr[b, 0] = n
@@ -337,5 +371,5 @@ def build_tileset(
         ja=ja_arr, ir=ir_arr, iv_dense=iv_arr,
         nnzrows=nnzrows_arr, i_own=i_own, j_own=j_own,
         regular_own=regular_own, source_own=source_own, sink_own=sink_own,
-        nnzcols=nnzcols_arr,
+        nnzcols=nnzcols_arr, jc=jc_arr,
     )

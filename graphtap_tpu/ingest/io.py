@@ -90,11 +90,13 @@ def _read_text(path, has_weight, pidx, pcnt):
     if not data.strip():
         z = np.zeros(0, dtype=np.int64)
         return z, z.copy(), (np.zeros(0, dtype=np.int32) if has_weight else None)
-    arr = np.array(data.split(), dtype=np.int64)
     ncol = 3 if has_weight else 2
-    if arr.size % ncol:
-        raise ValueError(f"{path}: token count {arr.size} not a multiple of {ncol}")
-    arr = arr.reshape(-1, ncol)
+    # native hand-rolled parser when the host library is built (the
+    # reference's parread_text analog, graph.hpp:234-306: ~10-30x faster
+    # than tokenizing in Python); parse_text falls back to NumPy itself
+    # when the toolchain is unavailable
+    from graphtap_tpu import native
+    arr = native.parse_text(data, ncol)
     w = arr[:, 2].astype(np.int32) if has_weight else None
     return arr[:, 0], arr[:, 1], w
 

@@ -85,110 +85,6 @@ def _wg_body(nsub, mul_kind, fill, has_w, has_carry,
                                      jnp.full_like(acc, fill), acc)
 
 
-def _wg_fold_body(nsub, fill, reduce_kind, init_out,
-                  wsel_ref, base_ref, nact_ref, dst_ref,
-                  src_ref, cidx_ref, meta_ref, *rest):
-    """Gather fused with the chunk ⊕-fold: the step's (8,128) block is
-    accumulated in VMEM scratch across subops and, at the last subop,
-    column-⊕-folded into row dst[i] of the whole-VMEM y table — the
-    gathered stack is never written to HBM."""
-    acc_ref = rest[-1]
-    out_ref = rest[-2]          # optional carry ref before it (unread)
-    i = pl.program_id(0)
-    s = pl.program_id(1)
-
-    if init_out:
-        @pl.when((i == 0) & (s == 0))
-        def _():
-            out_ref[...] = jnp.full_like(out_ref, fill)
-
-    @pl.when(s == 0)
-    def _():
-        acc_ref[...] = jnp.full_like(acc_ref, fill)
-
-    @pl.when(s < nact_ref[i])
-    def _():
-        meta32 = meta_ref[0].astype(jnp.int32)
-        sid = meta32 >> 3
-        c32 = cidx_ref[0].astype(jnp.int32)
-        u = jnp.take_along_axis(src_ref[...], c32, axis=1)
-        j32 = meta32 & 7
-        g = jnp.take_along_axis(u, j32, axis=0)
-        acc_ref[...] = jnp.where(sid == s, g, acc_ref[...])
-
-    @pl.when(s == nsub - 1)
-    def _():
-        d = dst_ref[i]
-        v = acc_ref[...]
-        if reduce_kind == "sum":
-            part = jnp.sum(v, axis=0, keepdims=True)
-            out_ref[pl.ds(d, 1), :] = out_ref[pl.ds(d, 1), :] + part
-        elif reduce_kind == "min":
-            part = jnp.min(v, axis=0, keepdims=True)
-            out_ref[pl.ds(d, 1), :] = jnp.minimum(
-                out_ref[pl.ds(d, 1), :], part)
-        else:
-            part = jnp.max(v, axis=0, keepdims=True)
-            out_ref[pl.ds(d, 1), :] = jnp.maximum(
-                out_ref[pl.ds(d, 1), :], part)
-
-
-def windowed_gather_fold(src2d, wsel, base, nact, cidx, meta, dst,
-                         fold_rows: int, reduce_kind: str, fill,
-                         out_rows: int, nsub: int,
-                         interpret: bool = False):
-    """windowed_gather + colsum_chunks in one kernel: step i's gathered
-    (8,128) block folds into row ``dst[i]`` of a (fold_rows,128) table.
-    Segments RMW one aliased whole-array output."""
-    nsteps = out_rows // SUB
-    nseg = max(1, -(-nsteps // SEG_STEPS))
-    if nseg > 1:
-        assert nsteps % SEG_STEPS == 0, (nsteps, SEG_STEPS)
-    seg = nsteps if nseg == 1 else SEG_STEPS
-    out = None
-    for q in range(nseg):
-        s0 = q * seg
-        kern = functools.partial(_wg_fold_body, nsub, fill, reduce_kind,
-                                 q == 0)
-        in_specs = [
-            pl.BlockSpec((SUB, LANES),
-                         lambda i, s, w, b, n, d: (w[i * nsub + s], 0)),
-            pl.BlockSpec((1, SUB, LANES),
-                         lambda i, s, w, b, n, d:
-                         (jnp.maximum(b[i] + jnp.minimum(s, n[i] - 1), 0),
-                          0, 0)),
-            pl.BlockSpec((1, SUB, LANES),
-                         lambda i, s, w, b, n, d: (i, 0, 0)),
-        ]
-        args = [jax.lax.dynamic_slice_in_dim(wsel, s0 * nsub, seg * nsub),
-                jax.lax.dynamic_slice_in_dim(base, s0, seg),
-                jax.lax.dynamic_slice_in_dim(nact, s0, seg),
-                jax.lax.dynamic_slice_in_dim(dst, s0, seg),
-                src2d, cidx.reshape(-1, SUB, LANES),
-                jax.lax.dynamic_slice_in_dim(meta, s0, seg)]
-        io_alias = {}
-        if out is not None:
-            in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
-            args.append(out)
-            io_alias = {7: 0}
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
-            grid=(seg, nsub),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec((fold_rows, LANES),
-                                   lambda i, s, w, b, n, d: (0, 0)),
-            scratch_shapes=[pltpu.VMEM((SUB, LANES), src2d.dtype)],
-        )
-        out = pl.pallas_call(
-            kern,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((fold_rows, LANES), src2d.dtype),
-            input_output_aliases=io_alias,
-            interpret=interpret,
-        )(*args)
-    return out
-
-
 SEG_STEPS = 2048   # max grid steps per pallas_call: keeps the wsel/nact
                    # scalar-prefetch arrays within the ~1 MB SMEM budget
 
@@ -384,7 +280,7 @@ def _windowed_gather_call(src2d, wsel, base, nact, cidx, meta, weights,
     if has_carry:
         # the carry is the same buffer, aliased to the output: this
         # segment only rewrites its own row range (offset out_specs)
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         args.append(carry)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

@@ -141,6 +141,15 @@ def route_fold(stream0, bases, idx1, sel_a, sel_b, idx3, dst, nrows: int,
     (read as ``nwin`` stripe windows at prefetched bases) and ⊕-fold each
     routed 8-row band straight into row ``dst[p*8+ob]`` of the (nrows,
     128) y table (the layout colsum_chunks produced from the stack)."""
+    # the whole y table is ONE VMEM-resident output block; guard the
+    # budget explicitly so per-device-scale growth fails with a clear
+    # message instead of a Mosaic VMEM OOM (ADVICE r3).  Leave room for
+    # the nwin window buffers + 4 plan streams + double buffering.
+    ybytes = nrows * LANES * jnp.dtype(stream0.dtype).itemsize
+    assert ybytes <= 8 * 1024 * 1024, (
+        f"route_fold: y table {nrows}x128 ({ybytes >> 20} MiB) exceeds the"
+        f" 8 MiB VMEM budget — segment the fold (raise DEPTH7 chunking or"
+        f" split nrows) for this per-device problem size")
     kern = functools.partial(_route_fold_body, nwin, reduce_kind, fill)
 
     def mk_spec(t):

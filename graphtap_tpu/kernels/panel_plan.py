@@ -100,8 +100,19 @@ class RoutePlan:
     src_rows: int
 
 
+RELAXED_SLOTS = 0     # diagnostic: slots placed via lane relaxation
+# (tests assert the relax tier actually fires on hub-heavy loads)
+
+
+class RouteInfeasible(ValueError):
+    """The greedy route solver could not place every slot.  Callers whose
+    lanes are semantically fixed (pass A: the fold lane) re-plan with
+    relaxed quotas; callers whose lanes are planner-internal (x->x_ext)
+    pass ``relax_lane=True`` instead and never see this."""
+
+
 def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
-                  src_rows, fill_from=None):
+                  src_rows, fill_from=None, relax_lane=False):
     """Greedy 3-stage route assignment with row freedom (per slot).
 
     A slot of panel p reads source (src_r, src_c) and must land anywhere
@@ -109,6 +120,10 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
     the final lane is free (expand: the landing IS the final slot and
     stage 3 is the identity); otherwise the lane is fixed (pass A: the
     fold lane) and two landing layers precede the final crossbar.
+    ``relax_lane`` (fixed-lane mode only) lets the tail repair abandon a
+    straggler's requested lane and place it free-lane — legal whenever
+    the caller consumes the RETURNED lane array rather than assuming
+    dst_lane (the x->x_ext route, whose lane choice is planner-internal).
     Returns (RoutePlan, rows, lanes) with the chosen final positions."""
     N = src_r.size
     assert N <= npanels * PSLOTS, (N, npanels)
@@ -285,7 +300,7 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
                 if done:
                     break
             if not done:
-                raise ValueError("route: unplaceable slot after repair")
+                raise RouteInfeasible("route: unplaceable slot after repair")
         pend = np.zeros(0, dtype=np.int64)
     else:
         pend = real
@@ -335,6 +350,7 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
             tm = m[take]
             m_of[t] = tm
             row_of[t] = row_fin[take]
+            lane_fin_arr[t] = dst_lane[t]
             pick[t] = lay[take]
             src_at[panel_of[t], src_r[t], tm] = c1[t]
             land[lay[take], panel_of[t], row_of[t], tm] = rc[t]
@@ -359,15 +375,17 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
                         return int(rows[tr]), ly
             return None
 
-        def _place_f(e, m, row, ly):
+        def _place_f(e, m, row, ly, lane=None):
             p = panel_of[e]
+            lane = int(dst_lane[e]) if lane is None else lane
             m_of[e] = m
             row_of[e] = row
+            lane_fin_arr[e] = lane
             pick[e] = ly
             src_at[p, src_r[e], m] = c1[e]
             land[ly, p, row, m] = rc[e]
-            final_used[p, row, dst_lane[e]] = True
-            final_who[p, row, dst_lane[e]] = e
+            final_used[p, row, lane] = True
+            final_who[p, row, lane] = e
 
         for e in pend.tolist():
             p = int(panel_of[e])
@@ -405,11 +423,35 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
                         break
                 if done:
                     break
+            if not done and relax_lane:
+                # last tier: abandon the requested lane — land at ANY free
+                # final cell of a stripe row with a compatible landing.
+                # The caller uses the returned lane array, so this is
+                # lossless; it turns the solver total for x->x_ext.
+                global RELAXED_SLOTS
+                RELAXED_SLOTS += 1
+                for m in _viable_mf(e):
+                    rows = dst_stripe[e] * STRIPE + np.arange(STRIPE)
+                    for ly in range(2):
+                        for row in rows:
+                            la = land[ly, p, row, m]
+                            if la != 0 and la != rc[e]:
+                                continue
+                            fl = np.flatnonzero(~final_used[p, row])
+                            if fl.size:
+                                _place_f(e, int(m), int(row), ly,
+                                         lane=int(fl[0]))
+                                done = True
+                                break
+                        if done:
+                            break
+                    if done:
+                        break
             if not done:
-                raise ValueError("route: unplaceable slot after repair")
+                raise RouteInfeasible("route: unplaceable slot after repair")
         pend = np.zeros(0, dtype=np.int64)
     if pend.size:
-        raise ValueError(f"route: {pend.size} unplaceable real slots")
+        raise RouteInfeasible(f"route: {pend.size} unplaceable real slots")
 
     # phase 2: fills take the leftover cells (any source; landings share
     # the rc=-1 sentinel)
@@ -446,7 +488,7 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
                 land[0, panel_of[fsl[t]], rowg[t], mm[ok]] = -1
                 pendf = pendf[~ok]
             if pendf.size:
-                raise ValueError("route: fill landing conflict")
+                raise RouteInfeasible("route: fill landing conflict")
             final_used[panel_of[fsl], rowg, clane] = True
         else:
             pend = fills
@@ -480,15 +522,18 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
                 t = pend[take]
                 m_of[t] = m[take]
                 row_of[t] = row_fin[take]
+                lane_fin_arr[t] = dst_lane[t]
                 pick[t] = lay[take]
                 land[lay[take], panel_of[t], row_of[t], m[take]] = -1
                 final_used[panel_of[t], row_of[t], dst_lane[t]] = True
                 pend = pend[~take]
             if pend.size:
-                raise ValueError(
+                raise RouteInfeasible(
                     f"route: {pend.size} unplaceable fill slots")
 
-    lane_of = lane_fin_arr if free_lane else dst_lane
+    lane_of = lane_fin_arr      # actual lanes in BOTH modes (repair may
+    # have relaxed a fixed-lane slot; callers that need the lane read it
+    # from here, never from their dst_lane input)
     idx1 = np.zeros((npanels, src_rows, LANES), dtype=np.int8)
     # sel default 0xF8 = band 31: never matched by the kernel's stage-2
     # loop, so the landing stays at the ⊕-identity.  Fill slots simply
@@ -670,7 +715,34 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
                      iv_dense: Optional[np.ndarray],
                      value_dtype=np.float32,
                      pa_slack: int = 2) -> Spmv3Plan:
-    """Build the v3 plan from (compact-row, local-col) edges."""
+    """Build the v3 plan from (compact-row, local-col) edges.
+
+    Total by construction: the x->x_ext route relaxes lanes for
+    stragglers, and if a semantically-fixed-lane route (pass A / fixup /
+    fix2) still reports RouteInfeasible, the whole plan is rebuilt with
+    progressively lower stripe quotas (more slack for the greedy
+    two-choice placement).  The last rung re-raises — no silent wrong
+    plans."""
+    last = None
+    for quota, dcap in ((QUOTA, DCAP), (832, 80), (704, 56)):
+        try:
+            return _build_spmv3_plan_once(
+                rows, cols, weights, NR, NC, dense_len, iv_dense,
+                value_dtype=value_dtype, pa_slack=pa_slack,
+                quota=quota, dcap=dcap)
+        except RouteInfeasible as e:     # pragma: no cover - rare ladder
+            last = e
+    raise last
+
+
+def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
+                           weights: Optional[np.ndarray],
+                           NR: int, NC: int, dense_len: int,
+                           iv_dense: Optional[np.ndarray],
+                           value_dtype=np.float32,
+                           pa_slack: int = 2,
+                           quota: int = QUOTA,
+                           dcap: int = DCAP) -> Spmv3Plan:
     from graphtap_tpu.kernels.gather_plan import build_gather_plan
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
@@ -753,8 +825,8 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
         demand_slot = 1 + (np.repeat(dcount, clen2) // 16)
         cdem = np.cumsum(np.where(slot_start, demand_slot, 0))
         m = hi - i
-        if cdem[-1] > (XROWS - 1) * DCAP:
-            m = min(m, int(np.searchsorted(cdem, (XROWS - 1) * DCAP + 1)))
+        if cdem[-1] > (XROWS - 1) * dcap:
+            m = min(m, int(np.searchsorted(cdem, (XROWS - 1) * dcap + 1)))
         if ndist[min(m, ndist.size) - 1] > XCAP:
             m = min(m, int(np.searchsorted(ndist, XCAP + 1)))
         # bound the x->x_ext route's window operand count PER PANEL
@@ -768,8 +840,8 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
         # d0 quota: first index where any digit count exceeds 1024
         for d in range(NDIG):
             cnt = np.cumsum(seg_d[:m] == d)
-            if cnt[-1] > QUOTA:
-                m = min(m, int(np.searchsorted(cnt, QUOTA + 1)))
+            if cnt[-1] > quota:
+                m = min(m, int(np.searchsorted(cnt, quota + 1)))
         panel_of[i:i + m] = p
         u = seg_c[:m][slot_start[:m]]
         # dst stripes: column-sorted slots paced into stripes by stage-1
@@ -779,7 +851,7 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
         sdem = np.where(slot_start[:m], demand_slot[:m], 0)
         slot_dem = sdem[slot_start[:m]]
         dem_excl = np.cumsum(slot_dem) - slot_dem
-        rows_ = dem_excl // DCAP
+        rows_ = dem_excl // dcap
         # lanes round-robin over the STRIPE's slot sequence: same-lane
         # load per stripe is then <= ceil(8*DCAP/SLOT_W) = 7 < 8 rows, so
         # the fixed-lane route solver always has a spare row (the old
@@ -805,8 +877,6 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     xext_rows = exp_panels * XROWS
     xr_bases = np.zeros((exp_panels, NWIN_X), dtype=np.int32)
     _srs, _scs, _dst, _dln, _pof = [], [], [], [], []
-    lanes_all = np.zeros(slot_base, dtype=np.int64)
-    sb_ = 0
     for q, (u, rows_, lanes_) in enumerate(x_lists):
         xb_ = u // (STRIPE * LANES)
         wins = np.unique(xb_)
@@ -820,19 +890,24 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
         _dst.append(rows_ // STRIPE)
         _dln.append(lanes_)
         _pof.append(np.full(u.size, q, np.int64))
-        lanes_all[sb_:sb_ + u.size] = lanes_
-        sb_ += u.size
     if slot_base:
-        xr_route64, xr_rows_all, _ = _route_panels(
+        # relax_lane: the requested lanes are only a load-spreading
+        # heuristic here (SLOT_W round-robin); the solver may overrule
+        # them for stragglers and we consume ITS lane choices below —
+        # this is what makes the planner total at hub-heavy scales
+        # (RMAT-20 ROW ordering broke the strictly-fixed-lane solver)
+        xr_route64, xr_rows_all, xr_lanes_all = _route_panels(
             np.concatenate(_srs), np.concatenate(_scs),
             np.concatenate(_dst), np.concatenate(_dln),
-            np.concatenate(_pof), exp_panels, NWIN_X * STRIPE)
+            np.concatenate(_pof), exp_panels, NWIN_X * STRIPE,
+            relax_lane=True)
     else:
         xr_route64, _r, _l = _route_panels(
             np.zeros(0, np.int64), np.zeros(0, np.int64),
             np.zeros(0, np.int64), np.zeros(0, np.int64),
             np.zeros(0, np.int64), exp_panels, NWIN_X * STRIPE)
         xr_rows_all = np.zeros(0, np.int64)
+        xr_lanes_all = np.zeros(0, np.int64)
     xr_route = RoutePlan(
         idx1=xr_route64.idx1,
         sel_a=xr_route64.sel_a.reshape(
@@ -842,9 +917,9 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
         idx3=xr_route64.idx3.reshape(
             exp_panels, PROWS, LANES)[:, :XROWS].reshape(-1, LANES),
         src_rows=NWIN_X * STRIPE)
-    # actual x_ext position of each edge (solver-chosen row in stripe)
+    # actual x_ext position of each edge (solver-chosen row AND lane)
     xe_pos = (panel_of * XROWS * LANES + xr_rows_all[slot_gid] * LANES
-              + lanes_all[slot_gid])
+              + xr_lanes_all[slot_gid])
 
     # ---- expand route: x_ext panel -> d0-striped (64,128) panel.
     # Element dst: stripe d0, row/lane chosen by the router. Phantom
@@ -942,7 +1017,7 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
                 if p0 < b_:
                     hi = p0 + int(np.searchsorted(
                         so[p0:b_], lo + NWIN - 1, "left"))
-                    hi = min(hi, p0 + QUOTA)
+                    hi = min(hi, p0 + quota)
                     if hi > p0:
                         idx = ro[p0:hi]
                         e_pan[idx] = pa_panels
@@ -1390,6 +1465,40 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
     # may close with < 8 chunks; the empty stripes are unrouted = fill).
     F2_WCAP = 28
     cr2, cl2 = r2[o7], l2[o7]
+    # split chunks whose cells span > F2_CHUNK_WCAP distinct y_mid
+    # windows (same move as the fixr packing's step (a)): a chunk is
+    # shared by every destination lr of its block, so a hub-rich block's
+    # chunk can reference far-apart y_mid rows — 47 windows at RMAT-20
+    # ROW ordering, past the route sel encoding's 31-band limit.  The
+    # ⊕-fold accumulates duplicate-dst chunks, so splitting is free.
+    F2_CHUNK_WCAP = 22
+    wb7 = cr2 // STRIPE
+    ek2 = chunk7 * (np.int64(1) << 24) + wb7
+    o10 = np.argsort(ek2, kind="stable")
+    eks2 = ek2[o10]
+    wchg2 = np.ones(eks2.size, dtype=bool)
+    wchg2[1:] = eks2[1:] != eks2[:-1]
+    cid10 = eks2 >> 24
+    cchg10 = np.ones(eks2.size, dtype=bool)
+    cchg10[1:] = cid10[1:] != cid10[:-1]
+    wr2 = np.cumsum(wchg2) - 1
+    wr20 = np.repeat(wr2[cchg10], np.diff(np.concatenate(
+        [np.flatnonzero(cchg10), [eks2.size]])))
+    wrank2 = wr2 - wr20                        # window rank within chunk
+    spl2 = wrank2 // F2_CHUNK_WCAP
+    assert int(spl2.max(initial=0)) < 64
+    newkey2 = np.where(spl2 > 0, cid10 * 64 + spl2, np.int64(-1))
+    uq2 = np.unique(newkey2[newkey2 >= 0])
+    ch_new = np.where(newkey2 >= 0,
+                      np.searchsorted(uq2, np.maximum(newkey2, 0)) + nch7,
+                      cid10)
+    tmp7 = np.empty(eks2.size, dtype=np.int64)
+    tmp7[o10] = ch_new
+    chunk7 = tmp7
+    if uq2.size:
+        fix2_dst = np.concatenate(
+            [fix2_dst, fix2_dst[(uq2 // 64).astype(np.int64)]])
+    nch7 = fix2_dst.size
     # per-chunk window sets, in chunk order
     och = np.argsort(chunk7, kind="stable")
     ch_s = chunk7[och]

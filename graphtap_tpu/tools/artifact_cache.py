@@ -37,7 +37,7 @@ def _unpack_meta(a: np.ndarray) -> dict:
 # ----------------------------------------------------------------- TileSet
 _TS_ARRAYS = ("rows", "cols", "weights", "nnz", "ja", "ir", "iv_dense",
               "nnzrows", "i_own", "j_own", "regular_own", "source_own",
-              "sink_own", "nnzcols")
+              "sink_own", "nnzcols", "jc")
 
 
 def save_tileset(ts: TileSet, path: str) -> None:
@@ -106,22 +106,31 @@ def load_spmv2_meta(path: str):
 
 # -------------------------------------------------------------- Spmv3Meta
 _S3_SCALARS = ("NC", "nblocks", "dense_rows", "exp_panels", "pa_panels",
-               "pa_nwin", "fix_panels", "fixr_nwin", "fix2_chunks", "nrb",
+               "pa_nwin", "fix_panels", "fixr_nwin", "fix2_chunks",
+               "f2_panels", "f2_nwin", "nrb",
                "xext_rows", "xr_nwin", "sx_rows",
                "has_w", "nsub", "out_rows", "src_rows")
+# bump when Spmv3Meta's field set or the plan layout changes: stale
+# cached plans are REBUILT (None from load) instead of crashing the
+# warm-cache path with a TypeError
+_S3_VERSION = 4
 
 
 def save_spmv3_meta(m, path: str) -> None:
     meta = {k: getattr(m, k) for k in _S3_SCALARS}
+    meta["__version__"] = _S3_VERSION
     arrays = dict(m.arrays)
     arrays[_META] = _pack_meta(meta)
     np.savez(path, **arrays)
 
 
 def load_spmv3_meta(path: str):
+    """Spmv3Meta from disk, or None if the file predates _S3_VERSION."""
     from graphtap_tpu.kernels.panel_engine import Spmv3Meta
     with np.load(path) as z:
         meta = _unpack_meta(z[_META])
+        if meta.pop("__version__", 0) != _S3_VERSION:
+            return None
         arrays = {k: z[k] for k in z.files if k != _META}
     return Spmv3Meta(arrays=arrays, **meta)
 

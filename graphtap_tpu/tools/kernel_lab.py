@@ -15,6 +15,8 @@ are the TPU kernel implementations behind one API:
   7  scan-cf   — TCSC_CF phase execution (the reference ODCSC/LA3
                  regular/source-split idea, odcsc_spmspv.hpp:479-566 —
                  design-collapsed into the CF first/middle/last subsets)
+  8  scan-dcsc — DCSC: compact nnz-col ids + x gathered through the JC
+                 table (reference: dcsc_spmv.hpp:216-230)
 
 Cross-checks (reference: csc_spmv.hpp:222-228 — op counts and checksums
 must agree across formats): ``operations`` = stored nnz x iterations is
@@ -23,7 +25,7 @@ duplicated edges breaks the equality; ``slots`` counts the padded slots
 the variant actually streams (its work amplification), which is allowed
 to differ — that's the design tradeoff being measured.
 
-Usage: python -m graphtap_tpu.tools.kernel_lab <which> <file> <nvertices> <niters>
+Usage: python -m graphtap_tpu.tools.kernel_lab <which 0-8> <file> <nvertices> <niters>
 (mirrors ``bin/main <which> <file> <nvertices> <niters>``,
 singlenode/main.cpp:26).
 """
@@ -39,7 +41,10 @@ import numpy as np
 VARIANTS = {0: ("scan", "tcsc"), 1: ("segment", "tcsc"),
             2: ("scan", "csc"), 3: ("shuffle", "tcsc"),
             4: ("shuffle2", "tcsc"), 5: ("panel", "tcsc"),
-            6: ("onehot", "tcsc"), 7: ("scan", "tcsc_cf")}
+            6: ("onehot", "tcsc"), 7: ("scan", "tcsc_cf"),
+            # 8: DCSC — compact col ids, x gathered through JC (the
+            # reference lab's dcsc_spmv.hpp:216-230 shape)
+            8: ("scan", "dcsc")}
 
 LANES = 128
 
@@ -78,7 +83,8 @@ def run_variant(which: int, path: str, nvertices: int, niters: int,
         value_dtype = jnp.float32
     kernel, comp = VARIANTS[which]
     compression = {"tcsc": Compression.TCSC, "csc": Compression.CSC,
-                   "tcsc_cf": Compression.TCSC_CF}[comp]
+                   "tcsc_cf": Compression.TCSC_CF,
+                   "dcsc": Compression.DCSC}[comp]
 
     mesh = make_mesh(jax.devices()[:1], shape=(1, 1))
     cfg = GraphConfig(num_vertices=nvertices, directed=True, transpose=True,
@@ -126,7 +132,7 @@ def run_variant(which: int, path: str, nvertices: int, niters: int,
 def main(argv=None):
     argv = argv or sys.argv[1:]
     if len(argv) != 4:
-        print("Usage: kernel_lab <which 0-7> <file> <nvertices> <niters>")
+        print("Usage: kernel_lab <which 0-8> <file> <nvertices> <niters>")
         return 1
     which, path, nv, niters = int(argv[0]), argv[1], int(argv[2]), int(argv[3])
     r = run_variant(which, path, nv, niters)

@@ -99,3 +99,31 @@ def test_rmat_generator():
     # skewed: top-64 vertices own a disproportionate share of edges
     deg = np.bincount(r, minlength=1024)
     assert np.sort(deg)[-64:].sum() > 0.2 * r.size
+
+
+def test_text_native_vs_numpy_large(tmp_path):
+    """A multi-MB text file parses identically through the native
+    gt_parse_text path and the NumPy fallback (reference: parread_text,
+    graph.hpp:234-306)."""
+    from graphtap_tpu import native
+    path = tmp_path / "big.el"
+    rng = np.random.default_rng(11)
+    n = 300_000                               # ~3.5 MB of text
+    r = rng.integers(0, 1 << 20, n)
+    c = rng.integers(0, 1 << 20, n)
+    np.savetxt(path, np.stack([r, c], axis=1), fmt="%d")
+    rr, cc, _ = read_edge_list(str(path))
+    np.testing.assert_array_equal(rr, r)
+    np.testing.assert_array_equal(cc, c)
+    if native.available():
+        # force the NumPy fallback and compare
+        import graphtap_tpu.native as nat
+        saved = nat._lib
+        try:
+            nat._lib = None
+            nat._tried = True
+            r2, c2, _ = read_edge_list(str(path))
+        finally:
+            nat._lib = saved
+        np.testing.assert_array_equal(r2, rr)
+        np.testing.assert_array_equal(c2, cc)

@@ -202,3 +202,58 @@ def test_panel_kernels_match_simulator(kind):
                    plan.f2_panels, plan.f2_nwin, interpret=True)
     np.testing.assert_allclose(np.asarray(y).reshape(-1), y_ref,
                                rtol=1e-5)
+
+
+def test_spmv3_hub_heavy_rmat_load():
+    """Regression for the round-3 RMAT-20 failure: a skewed RMAT-style
+    load whose landing-layer conflicts defeat the strictly-fixed-lane
+    x->x_ext solver — the relax_lane repair tier must absorb the
+    stragglers and the plan must stay correct end to end (reference hot
+    loop this plans: vertex_program.hpp:1116-1327)."""
+    from graphtap_tpu.ingest.rmat import rmat_edges
+    from graphtap_tpu.kernels import panel_plan
+
+    r, c, _ = rmat_edges(scale=14, edge_factor=16, seed=1)
+    # compact-row renumber like the TCSC tileset (ROW-ordering analog)
+    nr_ids, r2 = np.unique(r, return_inverse=True)
+    NR = -(-nr_ids.size // 128) * 128
+    NC = 1 << 14
+    o = np.argsort(c, kind="stable")
+    r2, c2 = r2[o], c[o].astype(np.int64)
+    before = panel_plan.RELAXED_SLOTS
+    plan = build_spmv3_plan(r2, c2, None, NR, NC, dense_len=NR,
+                            iv_dense=None, value_dtype=np.float32)
+    rng = np.random.default_rng(3)
+    x = rng.random(NC).astype(np.float32)
+    y = simulate_spmv3(plan, x, np.float32(0), reduce_kind="sum")
+    expect = np.zeros(NR, dtype=np.float64)
+    np.add.at(expect, r2, x[c2].astype(np.float64))
+    np.testing.assert_allclose(y[:NR], expect, rtol=1e-4)
+    # document whether the hub load actually exercised the repair tier
+    print(f"relaxed slots: {panel_plan.RELAXED_SLOTS - before}")
+
+
+def test_route_panels_relax_lane_overload():
+    """Fixed-lane route with 9 slots demanding the same (stripe, lane) —
+    strictly infeasible (a stripe has 8 rows), so the old solver raised
+    'unplaceable slot after repair'.  With relax_lane the overflow slot
+    must land at another lane and the route must stay value-correct."""
+    from graphtap_tpu.kernels.panel_plan import RouteInfeasible
+    srows = 16
+    n = 9
+    src_r = np.arange(n) % (srows - 1)
+    src_c = np.arange(n).astype(np.int64)
+    stripe = np.zeros(n, dtype=np.int64)
+    lane = np.zeros(n, dtype=np.int64)            # all demand lane 0
+    panel_of = np.zeros(n, dtype=np.int64)
+    with pytest.raises(RouteInfeasible):
+        _route_panels(src_r, src_c, stripe, lane, panel_of, 1, srows)
+    plan, rows, lanes = _route_panels(
+        src_r, src_c, stripe, lane, panel_of, 1, srows, relax_lane=True)
+    assert np.sum(lanes != 0) >= 1                # someone got relaxed
+    assert np.unique(rows * LANES + lanes).size == n   # distinct cells
+    rng = np.random.default_rng(5)
+    v = rng.random((srows, LANES)).astype(np.float32)
+    out = simulate_route(plan, v, 1)
+    got = out[rows, lanes]
+    np.testing.assert_array_equal(got, v[src_r, src_c])

@@ -47,7 +47,7 @@ def test_state_stats():
     assert s["max"] == 3.0
 
 
-@pytest.mark.parametrize("which", [0, 1, 2, 6, 7])
+@pytest.mark.parametrize("which", [0, 1, 2, 6, 7, 8])
 def test_kernel_lab_variants_agree(which):
     r = run_variant(which, RMAT10, 1024, 5)
     # all variants must produce the same checksum AND the same stored-edge
