@@ -25,7 +25,7 @@ from graphtap_tpu.format.tiles import TileSet
 from graphtap_tpu.kernels.semiring import Semiring
 from graphtap_tpu.kernels.panel_plan import (Spmv3Plan, build_spmv3_plan,
                                              RoutePlan, LANES, PROWS,
-                                             STRIPE, XROWS)
+                                             STRIPE, XROWS, FOLD_SEG_ROWS)
 from graphtap_tpu.kernels.panel_kernels import (route_expand, route_passa,
                                                 route_fold)
 from graphtap_tpu.kernels.gather_engine import _pad_gather_plan
@@ -201,6 +201,11 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
         (int(p.fix_dst.max()) + 1 if p.fix_dst.size else 1)
         for p in plans)))
     nrb = -(-nrb // STRIPE) * STRIPE + STRIPE     # + scratch row block
+    if nrb > FOLD_SEG_ROWS:
+        # multi-segment fold: the y table streams FOLD_SEG_ROWS-row
+        # segments through VMEM (panels are segment-sorted), so nrb
+        # rounds to whole segments
+        nrb = -(-nrb // FOLD_SEG_ROWS) * FOLD_SEG_ROWS
     nblocks = int(mh.global_max(max(p.nblocks for p in plans))) + STRIPE
     dense_rows = seg_round_rows(
         int(mh.global_max(max(p.dense_rows for p in plans))))
@@ -286,10 +291,25 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
             arrs.setdefault(f"{nm}_sela", []).append(rt.sel_a)
             arrs.setdefault(f"{nm}_selb", []).append(rt.sel_b)
             arrs.setdefault(f"{nm}_idx3", []).append(rt.idx3)
-        # pad chunks fold into the scratch row blocks
-        fd = np.full(fix_panels * STRIPE, nrb - STRIPE, np.int32)
+        # pad chunks fold into the scratch row blocks; dst entries are
+        # SEGMENT-RELATIVE for the segmented route_fold, with per-panel
+        # segment ids (non-decreasing: real panels are planner-sorted,
+        # pad panels target the scratch rows in the last segment)
+        fd = np.full(fix_panels * STRIPE, nrb - STRIPE, np.int64)
         fd[:p.fix_dst.size] = p.fix_dst
-        arrs.setdefault("fix_dst", []).append(fd)
+        sg = np.full(fix_panels, (nrb - STRIPE) // FOLD_SEG_ROWS, np.int64)
+        sg[:p.fixr_seg.size] = p.fixr_seg
+        assert (np.diff(sg) >= 0).all(), "fixr panels not segment-sorted"
+        fd_rel = fd - np.repeat(sg, STRIPE) * FOLD_SEG_ROWS
+        seg_rows = min(nrb, FOLD_SEG_ROWS)
+        assert fd_rel.min() >= 0 and fd_rel.max() < seg_rows, (
+            fd_rel.min(), fd_rel.max(), seg_rows)
+        ini = np.zeros(fix_panels, np.int32)
+        ini[0] = 1
+        ini[1:] = (sg[1:] != sg[:-1]).astype(np.int32)
+        arrs.setdefault("fix_dst", []).append(fd_rel.astype(np.int32))
+        arrs.setdefault("fixr_seg", []).append(sg.astype(np.int32))
+        arrs.setdefault("fixr_ini", []).append(ini)
         hm = np.zeros(nrb, dtype=np.uint8)
         hm[:min(p.hub_mask.size, nrb)] = \
             p.hub_mask[:nrb].astype(np.uint8)
@@ -351,7 +371,7 @@ def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
         s1, t["fixr_bases"], t["fixr_idx1"], t["fixr_sela"],
         t["fixr_selb"], t["fixr_idx3"], t["fix_dst"], meta.nrb,
         semiring.reduce_kind, fill, meta.fix_panels, meta.fixr_nwin,
-        interpret=interpret)
+        seg=t["fixr_seg"], ini=t["fixr_ini"], interpret=interpret)
     # hub rows: lane-⊕-fold at the row's packed slot width (hub_mask
     # codes 32/64/128; several hubs share a row at 2^c-lane boundaries)
     # so fix2 reads one conflict-free cell per hub

@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from graphtap_tpu.kernels.panel_plan import (LANES, PROWS, STRIPE, NDIG,
-                                             XROWS)
+                                             XROWS, FOLD_SEG_ROWS)
 
 
 def _route_body(nsrc_bands, mul_kind, fill, has_w, nwin_refs,
@@ -84,18 +84,20 @@ def _route_body(nsrc_bands, mul_kind, fill, has_w, nwin_refs,
 
 
 def _route_fold_body(nwin, reduce_kind, fill, bases_ref, dst_ref,
-                     *kern_args):
+                     seg_ref, ini_ref, *kern_args):
     """3-stage route fused with the chunk ⊕-fold: instead of writing the
     routed (64,128) panel to HBM for colsum_chunks to re-read, each
-    output band folds to one row in-register and RMWs the whole-VMEM y
-    table at its prefetched destination row — saves the full write+read
-    of the 150 MB fixup stack every iteration."""
+    output band folds to one row in-register and RMWs the VMEM-resident
+    y-table SEGMENT at its prefetched (segment-relative) destination row
+    — saves the full write+read of the 150 MB fixup stack every
+    iteration.  ini marks each segment's first panel (initialize the
+    freshly-fetched block to the ⊕-identity)."""
     i = pl.program_id(0)
     srcs = kern_args[:nwin]
     idx1_ref, sela_ref, selb_ref, idx3_ref = kern_args[nwin:nwin + 4]
     y_ref = kern_args[-1]
 
-    @pl.when(i == 0)
+    @pl.when(ini_ref[i] == 1)
     def _():
         y_ref[...] = jnp.full_like(y_ref, fill)
 
@@ -136,38 +138,47 @@ def _route_fold_body(nwin, reduce_kind, fill, bases_ref, dst_ref,
 
 def route_fold(stream0, bases, idx1, sel_a, sel_b, idx3, dst, nrows: int,
                reduce_kind: str, fill, npanels: int, nwin: int,
-               interpret: bool = False):
+               seg=None, ini=None, interpret: bool = False):
     """Fixup route + chunk fold in one kernel: route panels of ``stream0``
     (read as ``nwin`` stripe windows at prefetched bases) and ⊕-fold each
-    routed 8-row band straight into row ``dst[p*8+ob]`` of the (nrows,
-    128) y table (the layout colsum_chunks produced from the stack)."""
-    # the whole y table is ONE VMEM-resident output block; guard the
-    # budget explicitly so per-device-scale growth fails with a clear
-    # message instead of a Mosaic VMEM OOM (ADVICE r3).  Leave room for
-    # the nwin window buffers + 4 plan streams + double buffering.
-    ybytes = nrows * LANES * jnp.dtype(stream0.dtype).itemsize
-    assert ybytes <= 8 * 1024 * 1024, (
-        f"route_fold: y table {nrows}x128 ({ybytes >> 20} MiB) exceeds the"
-        f" 8 MiB VMEM budget — segment the fold (raise DEPTH7 chunking or"
-        f" split nrows) for this per-device problem size")
+    routed 8-row band into row ``dst[p*8+ob]`` of the y table.
+
+    The y table is VMEM-resident one SEGMENT (≤ FOLD_SEG_ROWS rows) at a
+    time: ``seg`` gives each panel's segment (non-decreasing — planner
+    orders panels by destination segment), ``ini`` is 1 on each segment's
+    first panel, and ``dst`` is segment-RELATIVE when nrows spans more
+    than one segment.  With seg/ini omitted the table must fit one
+    segment (dst absolute, single resident block — the f2 fold)."""
+    seg_rows = min(nrows, FOLD_SEG_ROWS)
+    nseg = -(-nrows // seg_rows)
+    assert nrows == nseg * seg_rows, (nrows, seg_rows)
+    if seg is None:
+        assert nseg == 1, (
+            f"route_fold: y table {nrows}x128 spans {nseg} segments — "
+            f"pass the planner's per-panel seg/ini arrays")
+        seg = jnp.zeros((npanels,), jnp.int32)
+        ini = jnp.zeros((npanels,), jnp.int32).at[0].set(1)
     kern = functools.partial(_route_fold_body, nwin, reduce_kind, fill)
 
     def mk_spec(t):
         return pl.BlockSpec((STRIPE, LANES),
-                            lambda i, b, d, t=t: (b[i * nwin + t], 0))
+                            lambda i, b, d, s, n, t=t: (b[i * nwin + t], 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(npanels,),
         in_specs=[mk_spec(t) for t in range(nwin)] + [
-            pl.BlockSpec((nwin * STRIPE, LANES), lambda i, b, d: (i, 0)),
-            pl.BlockSpec((PROWS, LANES), lambda i, b, d: (i, 0)),
-            pl.BlockSpec((PROWS, LANES), lambda i, b, d: (i, 0)),
-            pl.BlockSpec((PROWS, LANES), lambda i, b, d: (i, 0)),
+            pl.BlockSpec((nwin * STRIPE, LANES),
+                         lambda i, b, d, s, n: (i, 0)),
+            pl.BlockSpec((PROWS, LANES), lambda i, b, d, s, n: (i, 0)),
+            pl.BlockSpec((PROWS, LANES), lambda i, b, d, s, n: (i, 0)),
+            pl.BlockSpec((PROWS, LANES), lambda i, b, d, s, n: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((nrows, LANES), lambda i, b, d: (0, 0)),
+        out_specs=pl.BlockSpec((seg_rows, LANES),
+                               lambda i, b, d, s, n: (s[i], 0)),
     )
-    args = [bases, dst] + [stream0] * nwin + [idx1, sel_a, sel_b, idx3]
+    args = [bases, dst, seg, ini] + [stream0] * nwin + \
+        [idx1, sel_a, sel_b, idx3]
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,

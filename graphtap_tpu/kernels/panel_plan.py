@@ -38,10 +38,16 @@ nedges==0 skips and padding-free serial scatter.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+# GRAPHTAP_PLAN_DEBUG=1: self-check every pipeline stage during plan
+# construction against the per-edge position maps (host-side simulate;
+# ~2x plan time) — pinpoints the first stage whose plan loses an edge
+_PLAN_DEBUG = bool(os.environ.get("GRAPHTAP_PLAN_DEBUG"))
 
 LANES = 128
 PROWS = 64                 # panel rows
@@ -59,6 +65,11 @@ QUOTA = 900                # elements per digit stripe (1024 slots - slack:
                            # the route's greedy two-choice lane assignment
                            # needs ~6% free entries to stay off the full-
                            # load Konig regime)
+FOLD_SEG_ROWS = 8192       # y-table rows VMEM-resident per route_fold
+                           # segment (4 MiB f32): fixr panels are packed
+                           # segment-sorted so the kernel streams y-table
+                           # segments instead of holding nrb rows (12+
+                           # MiB at RMAT-20 — over the ~16 MiB VMEM)
 DUP_CAP = 128              # max edges per x_ext slot: hub columns get
                            # multiple slots so one source entry never
                            # starves its row's stage-1 lane entries
@@ -111,8 +122,86 @@ class RouteInfeasible(ValueError):
     pass ``relax_lane=True`` instead and never see this."""
 
 
+def _route_workers() -> int:
+    """Worker processes for parallel route solving (panels are mutually
+    independent in the solver, so panel ranges shard perfectly).  Env
+    knob GRAPHTAP_PLAN_WORKERS; default = CPU count."""
+    import os
+    v = os.environ.get("GRAPHTAP_PLAN_WORKERS")
+    if v is not None:
+        return max(1, int(v))
+    return os.cpu_count() or 1
+
+
+_ROUTE_JOB = None       # (args tuple) inherited by forked workers (COW)
+
+
+def _route_job(bounds):
+    """Worker: solve one contiguous panel range of the inherited job."""
+    p0, p1 = bounds
+    (src_r, src_c, dst_stripe, dst_lane, panel_of, src_rows, fill_from,
+     relax_lane, max_row) = _ROUTE_JOB
+    sel = np.flatnonzero((panel_of >= p0) & (panel_of < p1))
+    global RELAXED_SLOTS
+    r0 = RELAXED_SLOTS
+    plan, rows, lanes = _route_panels_seq(
+        src_r[sel], src_c[sel], dst_stripe[sel],
+        None if dst_lane is None else dst_lane[sel],
+        panel_of[sel] - p0, p1 - p0, src_rows,
+        fill_from=fill_from, relax_lane=relax_lane, max_row=max_row)
+    return (plan.idx1, plan.sel_a, plan.sel_b, plan.idx3,
+            rows.astype(np.int8), lanes.astype(np.int8),
+            RELAXED_SLOTS - r0)
+
+
 def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
-                  src_rows, fill_from=None, relax_lane=False):
+                  src_rows, fill_from=None, relax_lane=False,
+                  max_row=None):
+    """Greedy 3-stage route assignment — parallel driver.
+
+    Panels are independent in the solver (all state is per-panel), so
+    large jobs shard into contiguous panel ranges solved by forked
+    worker processes; the per-range plans concatenate panel-wise.  The
+    route solver is ~75%% of total plan-build time (profiled at scale
+    18), so this sets the wall-clock for RMAT-22+ planning."""
+    global _ROUTE_JOB, RELAXED_SLOTS
+    nw = min(_route_workers(), max(1, npanels // 32))
+    if nw <= 1 or panel_of.size < 200_000:
+        return _route_panels_seq(src_r, src_c, dst_stripe, dst_lane,
+                                 panel_of, npanels, src_rows,
+                                 fill_from=fill_from,
+                                 relax_lane=relax_lane, max_row=max_row)
+    import multiprocessing as mp
+    bounds = [(npanels * k) // nw for k in range(nw + 1)]
+    jobs = [(bounds[k], bounds[k + 1]) for k in range(nw)
+            if bounds[k + 1] > bounds[k]]
+    _ROUTE_JOB = (src_r, src_c, dst_stripe, dst_lane, panel_of, src_rows,
+                  fill_from, relax_lane, max_row)
+    try:
+        ctx = mp.get_context("fork")
+        with ctx.Pool(processes=len(jobs)) as pool:
+            parts = pool.map(_route_job, jobs)
+    finally:
+        _ROUTE_JOB = None
+    idx1 = np.concatenate([p[0] for p in parts])
+    sel_a = np.concatenate([p[1] for p in parts])
+    sel_b = np.concatenate([p[2] for p in parts])
+    idx3 = np.concatenate([p[3] for p in parts])
+    rows = np.full(panel_of.size, -1, dtype=np.int64)
+    lanes = np.full(panel_of.size, -1, dtype=np.int64)
+    for (p0, p1), p in zip(jobs, parts):
+        sel = np.flatnonzero((panel_of >= p0) & (panel_of < p1))
+        rows[sel] = p[4].astype(np.int64)
+        lanes[sel] = p[5].astype(np.int64)
+        RELAXED_SLOTS += p[6]
+    plan = RoutePlan(idx1=idx1, sel_a=sel_a, sel_b=sel_b, idx3=idx3,
+                     src_rows=src_rows)
+    return plan, rows, lanes
+
+
+def _route_panels_seq(src_r, src_c, dst_stripe, dst_lane, panel_of,
+                      npanels, src_rows, fill_from=None, relax_lane=False,
+                      max_row=None):
     """Greedy 3-stage route assignment with row freedom (per slot).
 
     A slot of panel p reads source (src_r, src_c) and must land anywhere
@@ -128,6 +217,7 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
     N = src_r.size
     assert N <= npanels * PSLOTS, (N, npanels)
     free_lane = dst_lane is None
+    assert max_row is None or not free_lane, "max_row is fixed-lane only"
     nlayer = 2
     src_at = np.zeros((npanels, src_rows, LANES), dtype=np.int16)   # c+1
     land = np.zeros((nlayer, npanels, PROWS, LANES), dtype=np.int32)
@@ -317,6 +407,8 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
             la = land[0, pp[None], rows8, m[None]]
             lb = land[1, pp[None], rows8, m[None]]
             fin_free = ~final_used[pp[None], rows8, dst_lane[pend][None]]
+            if max_row is not None:
+                fin_free &= rows8 < max_row
             ok_a = ((la == 0) | (la == rc[pend][None])) & fin_free
             ok_b = ((lb == 0) | (lb == rc[pend][None])) & fin_free
             okrow = ok_a | ok_b
@@ -370,6 +462,8 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
             for ly in range(2):
                 la = land[ly, p, rows, m]
                 for tr in range(STRIPE):
+                    if max_row is not None and rows[tr] >= max_row:
+                        continue
                     if (la[tr] == 0 or la[tr] == rc[e]) and \
                             not final_used[p, rows[tr], dst_lane[e]]:
                         return int(rows[tr]), ly
@@ -401,6 +495,8 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
             for m in _viable_mf(e):
                 rows = dst_stripe[e] * STRIPE + np.arange(STRIPE)
                 for row in rows:
+                    if max_row is not None and row >= max_row:
+                        continue
                     l0 = land[0, p, row, m]
                     l1 = land[1, p, row, m]
                     ly_e = 0 if (l0 == 0 or l0 == rc[e]) else \
@@ -434,6 +530,8 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
                     rows = dst_stripe[e] * STRIPE + np.arange(STRIPE)
                     for ly in range(2):
                         for row in rows:
+                            if max_row is not None and row >= max_row:
+                                continue
                             la = land[ly, p, row, m]
                             if la != 0 and la != rc[e]:
                                 continue
@@ -691,6 +789,8 @@ class Spmv3Plan:
     fixr_bases: np.ndarray  # (fix_panels * fixr_nwin,) int32 s1 blocks
     fixr_nwin: int
     fix_panels: int
+    fixr_seg: np.ndarray    # (fix_panels,) int32 fold segment per panel
+                            # (non-decreasing; FOLD_SEG_ROWS rows each)
     # x -> x_ext route (pass-A kernel, out_rows=XROWS)
     xr_route: RoutePlan
     xr_bases: np.ndarray   # (exp_panels * NWIN_X,) int32 x-table blocks
@@ -896,11 +996,17 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
         # them for stragglers and we consume ITS lane choices below —
         # this is what makes the planner total at hub-heavy scales
         # (RMAT-20 ROW ordering broke the strictly-fixed-lane solver)
+        # max_row: the solver's row freedom must NOT land real slots in
+        # x_ext row XROWS-1 — the expand route classifies that row as
+        # the fill row (phantoms read it and real slots there would be
+        # dropped); the demand pacing only bounds the REQUESTED rows,
+        # not the stripe-freedom placements (the round-3 mass-loss bug
+        # at scales >= 17)
         xr_route64, xr_rows_all, xr_lanes_all = _route_panels(
             np.concatenate(_srs), np.concatenate(_scs),
             np.concatenate(_dst), np.concatenate(_dln),
             np.concatenate(_pof), exp_panels, NWIN_X * STRIPE,
-            relax_lane=True)
+            relax_lane=True, max_row=XROWS - 1)
     else:
         xr_route64, _r, _l = _route_panels(
             np.zeros(0, np.int64), np.zeros(0, np.int64),
@@ -920,6 +1026,19 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
     # actual x_ext position of each edge (solver-chosen row AND lane)
     xe_pos = (panel_of * XROWS * LANES + xr_rows_all[slot_gid] * LANES
               + xr_lanes_all[slot_gid])
+    _dbgx = _xext = _s0 = _s1 = None
+    if _PLAN_DEBUG and E:
+        _dbgx = np.random.default_rng(99).random(max(NC, 1)).astype(
+            np.float32)
+        _x2d = np.zeros((sxrows, LANES), np.float32)
+        _x2d.reshape(-1)[:NC] = _dbgx
+        _vx = _x2d.reshape(-1, STRIPE, LANES)[
+            xr_bases.reshape(exp_panels, NWIN_X)]
+        _vx = _vx.reshape(exp_panels * NWIN_X * STRIPE, LANES)
+        _xext = simulate_route(xr_route, _vx, exp_panels, 0.0,
+                               out_rows=XROWS)
+        _bad = int((_xext.reshape(-1)[xe_pos] != _dbgx[e_col]).sum())
+        assert _bad == 0, f"PLAN_DEBUG xr: {_bad}/{E} edges read wrong x"
 
     # ---- expand route: x_ext panel -> d0-striped (64,128) panel.
     # Element dst: stripe d0, row/lane chosen by the router. Phantom
@@ -942,6 +1061,12 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
     e_erow = exp_rows_all[:E]
     e_elane = exp_lanes_all[:E]
     pos_in_stripe = (e_erow % STRIPE) * LANES + e_elane
+    if _PLAN_DEBUG and E:
+        _s0 = simulate_route(exp_route, _xext, exp_panels, 0.0)
+        _got = _s0.reshape(exp_panels, PROWS, LANES)[panel_of, e_erow,
+                                                     e_elane]
+        _bad = int((_got != _dbgx[e_col]).sum())
+        assert _bad == 0, f"PLAN_DEBUG expand: {_bad}/{E} edges wrong"
 
     w_stream = None
     if e_w is not None:
@@ -1123,7 +1248,7 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
             hub_mask=np.zeros(1, dtype=np.uint8),
             fixr_route=fr0,
             fixr_bases=np.full(2, fill_b, np.int32), fixr_nwin=2,
-            fix_panels=1,
+            fix_panels=1, fixr_seg=np.zeros(1, np.int32),
             xr_route=xr_route, xr_bases=xr_bases.reshape(-1),
             sx_rows=sxrows,
             f2_route=f2r0, f2_bases=np.zeros(2, np.int32), f2_nwin=2,
@@ -1132,6 +1257,13 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
             dense_rows=dense_rows0)
     e_parow = _parows                      # actual routed rows (from pass A)
     s1_pos = e_pan * PSLOTS + e_parow * LANES + pa_lane
+    if _PLAN_DEBUG and E:
+        _blk = np.concatenate([_s0.reshape(-1, STRIPE, LANES),
+                               np.zeros((1, STRIPE, LANES), np.float32)])
+        _vpa = _blk[np.stack(pan_bases)].reshape(-1, LANES)
+        _s1 = simulate_route(pa_route, _vpa, pa_panels, 0.0)
+        _bad = int((_s1.reshape(-1)[s1_pos] != _dbgx[e_col]).sum())
+        assert _bad == 0, f"PLAN_DEBUG passA: {_bad}/{E} edges wrong"
     e_blk = blk[order]
     e_reg = pan_reg[e_pan]
     # order pieces per (block, region, lr, stream) — block-major so a
@@ -1350,30 +1482,46 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
     pan_of_chunk = np.zeros(nchunks, dtype=np.int64)
     stripe_of_chunk = np.zeros(nchunks, dtype=np.int64)
     pan_wins: List[np.ndarray] = []
+    pan_seg_l: List[int] = []
+    # pack in (fold segment, chunk) order and close panels at segment
+    # boundaries: the route_fold kernel keeps one FOLD_SEG_ROWS y-table
+    # segment VMEM-resident and fetches the next when the prefetched
+    # per-panel segment id advances — arbitrary nrb without VMEM OOM
+    chunk_seg = fix_dst.astype(np.int64) // FOLD_SEG_ROWS
+    cq_order = np.lexsort((np.arange(nchunks), chunk_seg))
     cur: set = set()
     nin = 0
     fp = 0
-    for cq in range(nchunks):
+    cur_seg = int(chunk_seg[cq_order[0]]) if nchunks else 0
+    for cq in cq_order.tolist():
         wins_c = pr_w[pair_of_chunk[cq]:pair_end[cq]]
         u_ = cur | set(wins_c.tolist())
-        if nin == STRIPE or (nin and len(u_) > CW):
+        sg = int(chunk_seg[cq])
+        if nin == STRIPE or (nin and (len(u_) > CW or sg != cur_seg)):
             pan_wins.append(np.asarray(sorted(cur), np.int64))
+            pan_seg_l.append(cur_seg)
             fp += 1
             cur = set(wins_c.tolist())
             nin = 0
         else:
             cur = u_
+        cur_seg = sg
         pan_of_chunk[cq] = fp
         stripe_of_chunk[cq] = nin
         nin += 1
     pan_wins.append(np.asarray(sorted(cur), np.int64))
+    pan_seg_l.append(cur_seg)
     fix_panels = fp + 1
+    fixr_seg = np.asarray(pan_seg_l, dtype=np.int32)
     fixr_nwin = max(2, max(w.size for w in pan_wins) + 1)  # + fill window
     fixr_bases = np.full((fix_panels, fixr_nwin), fix_fill_blk, np.int32)
     for p_ in range(fix_panels):
         fixr_bases[p_, :pan_wins[p_].size] = pan_wins[p_]
-    # fix_dst re-ordered to (panel, stripe) chunk sequence, pad chunks -> 0
-    fd_panel = np.zeros(fix_panels * STRIPE, dtype=np.int32)
+    # fix_dst re-ordered to (panel, stripe) chunk sequence; unassigned
+    # stripes are unrouted (pure ⊕-identity) but must still carry a dst
+    # row INSIDE the panel's segment — use the segment's first row
+    fd_panel = np.repeat(fixr_seg.astype(np.int64) * FOLD_SEG_ROWS,
+                         STRIPE).astype(np.int32)
     fd_panel[pan_of_chunk * STRIPE + stripe_of_chunk] = fix_dst[:nchunks]
     fix_dst = fd_panel
     # (c) per-slot route coordinates
@@ -1405,6 +1553,23 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
     fixr_route, _frrows, _frlanes = _route_panels(
         fr_sr, fr_sc, fr_st, fr_dl, fr_p, fix_panels, fixr_nwin * STRIPE,
         fill_from=(fixr_nwin - 1) * STRIPE)
+    if _PLAN_DEBUG and E:
+        _s1f = np.concatenate([_s1.reshape(-1, STRIPE, LANES),
+                               np.zeros((1, STRIPE, LANES), np.float32)])
+        _vfx = _s1f[fixr_bases.reshape(fix_panels, fixr_nwin)].reshape(
+            -1, LANES)
+        _rt = simulate_route(fixr_route, _vfx, fix_panels, 0.0)
+        _part = _rt.reshape(-1, STRIPE, LANES).sum(axis=1)
+        _nmid = int(fix_dst.max()) + 1
+        _ymid = np.zeros((_nmid, LANES), np.float64)
+        np.add.at(_ymid, fix_dst, _part.astype(np.float64))
+        _exp_mid = np.zeros_like(_ymid)
+        np.add.at(_exp_mid, (grow, lanecol),
+                  _dbgx[e_col[o6]].astype(np.float64))
+        _badm = ~np.isclose(_ymid, _exp_mid, rtol=1e-3, atol=1e-6)
+        assert not _badm.any(), (
+            f"PLAN_DEBUG fixr: {int(_badm.sum())} y_mid cells wrong "
+            f"(first {np.argwhere(_badm)[:5].tolist()})")
 
     # second level: y_mid (nrb,128) lane-column cells -> (block, lr);
     # the (block, lr) identity is per cell (a y_mid row mixes blocks).
@@ -1573,7 +1738,7 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
         pa_bases=pa_bases, w_stream=w_stream, fix_dst=fix_dst,
         fix2_dst=fix2_dst, hub_mask=hub_mask, fixr_route=fixr_route,
         fixr_bases=fixr_bases.reshape(-1), fixr_nwin=fixr_nwin,
-        fix_panels=fix_panels,
+        fix_panels=fix_panels, fixr_seg=fixr_seg,
         xr_route=xr_route, xr_bases=xr_bases.reshape(-1), sx_rows=sxrows,
         f2_route=f2_route64, f2_bases=f2_bases.reshape(-1),
         f2_nwin=f2_nwin, f2_panels=f2_panels,

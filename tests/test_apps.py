@@ -142,3 +142,41 @@ def test_sssp_sparse_exchange(mesh, rmat10_w_edges):
     dist = ex.state_vector()["distance"]
     gold = golden.sssp(src, dst, w, NV, root=0)
     np.testing.assert_array_equal(dist.astype(np.int64), gold)
+
+
+def test_panel_kernel_2x4_mesh_scale14():
+    """Multi-device panel-pipeline coverage at a nontrivial scale: the v3
+    plans are per-device (padded to the mesh max) and the kernels run
+    under shard_map on a 2x4 CPU mesh — the tile sweep the panel kernel
+    distributes (reference: combine_2d_stationary,
+    vertex_program.hpp:1058-1113). Checks against the f64 golden model."""
+    import jax
+    import jax.numpy as jnp
+    from graphtap_tpu.ingest.rmat import rmat_edges
+    from graphtap_tpu.apps.degree import DegreeProgram
+    from graphtap_tpu.apps.pagerank import PageRankProgram
+    from graphtap_tpu.config import EngineConfig, Ordering
+    from graphtap_tpu.engine.executor import Executor
+    import golden
+
+    scale, iters = 14, 5
+    src, dst, _ = rmat_edges(scale=scale, edge_factor=16, seed=1)
+    n = 1 << scale
+    mesh = make_mesh(jax.devices()[:8], shape=(2, 4))
+    cfg = GraphConfig(num_vertices=n, directed=True, transpose=True,
+                      compression=Compression.TCSC)
+    g = Graph.from_edges(src, dst, None, cfg, mesh=mesh)
+    deg = Executor(g, DegreeProgram(value_dtype=jnp.float32),
+                   EngineConfig(stationary=True, ordering=Ordering.COL),
+                   kernel="panel")
+    deg.initialize()
+    deg.execute(1)
+    pr = Executor(g, PageRankProgram(value_dtype=jnp.float32),
+                  EngineConfig(stationary=True, ordering=Ordering.ROW),
+                  kernel="panel")
+    pr.initialize(other=deg)
+    pr.execute(iters)
+    cs, reach = pr.checksum()
+    v = golden.pagerank(src.astype(np.int64), dst.astype(np.int64),
+                        n + 1, iters)
+    assert abs(cs - float(v.sum())) / abs(float(v.sum())) < 1e-4

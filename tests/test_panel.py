@@ -257,3 +257,70 @@ def test_route_panels_relax_lane_overload():
     out = simulate_route(plan, v, 1)
     got = out[rows, lanes]
     np.testing.assert_array_equal(got, v[src_r, src_c])
+
+
+def test_route_fold_multi_segment(monkeypatch):
+    """The segmented route_fold (y table > FOLD_SEG_ROWS streams one
+    VMEM segment at a time via the prefetched per-panel segment id):
+    shrink FOLD_SEG_ROWS so a small graph spans several segments, run
+    the full panel pipeline in interpret mode, compare to a dense SpMV."""
+    import jax.numpy as jnp
+    from graphtap_tpu.kernels import panel_plan, panel_kernels, panel_engine
+    from graphtap_tpu.kernels.panel_engine import (build_spmv3_meta,
+                                                   spmv3_local)
+    from graphtap_tpu.kernels.semiring import plus_times
+    from graphtap_tpu.format.tiles import build_tileset
+    from graphtap_tpu.parallel.layout import Partition
+    from graphtap_tpu.config import Compression
+
+    monkeypatch.setattr(panel_plan, "FOLD_SEG_ROWS", 64)
+    monkeypatch.setattr(panel_kernels, "FOLD_SEG_ROWS", 64)
+    monkeypatch.setattr(panel_engine, "FOLD_SEG_ROWS", 64)
+
+    rng = np.random.default_rng(9)
+    n = 4096
+    E = 40000
+    r = rng.integers(0, n, size=E).astype(np.int64)
+    c = rng.integers(0, n, size=E).astype(np.int64)
+    part = Partition.build(nv=n, R=1, C=1, segment_align=1024)
+    ts = build_tileset(r, c, None, part, compression=Compression.TCSC)
+    meta = build_spmv3_meta(ts, value_dtype=np.float32)
+    assert meta.nrb > 64, "test must span several fold segments"
+    assert meta.nrb % 64 == 0
+    segs = meta.arrays["fixr_seg"][0]
+    assert segs.max() > 0, "expected a multi-segment fixr plan"
+    assert (np.diff(segs) >= 0).all()
+
+    t = {k: jnp.asarray(v[0]) for k, v in meta.arrays.items()}
+    x = rng.random(part.tile_cols).astype(np.float32)
+    y = spmv3_local(jnp.asarray(x), t, meta, plus_times(),
+                    dense_len=part.tile_rows, interpret=True)
+    expect = np.zeros(part.tile_rows, dtype=np.float64)
+    np.add.at(expect, r, x[c].astype(np.float64))
+    np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-4)
+
+
+def test_route_panels_max_row_excludes_fill_row():
+    """Regression for the round-3 mass-loss bug (scales >= 17): the
+    fixed-lane solver's row freedom could land real x_ext slots in the
+    expand route's fill row (XROWS-1); ``max_row`` must keep every real
+    placement below it while staying feasible and value-correct."""
+    rng = np.random.default_rng(11)
+    srows = 16
+    n = 7 * LANES           # heavy load on one stripe: rows fill deep
+    src_r = rng.integers(0, srows, size=n)
+    src_c = rng.integers(0, LANES, size=n)
+    stripe = np.full(n, 3, dtype=np.int64)       # rows 24..31
+    lane = np.tile(np.arange(LANES), 7)
+    panel_of = np.zeros(n, dtype=np.int64)
+    # without the cap the solver uses row 31 for some slots
+    _, rows_nc, _ = _route_panels(src_r, src_c, stripe, lane, panel_of,
+                                  1, srows, relax_lane=True)
+    assert rows_nc.max() == 31
+    plan, rows, lanes = _route_panels(src_r, src_c, stripe, lane,
+                                      panel_of, 1, srows,
+                                      relax_lane=True, max_row=31)
+    assert rows.max() < 31 and rows.min() >= 24
+    v = rng.random((srows, LANES)).astype(np.float32)
+    out = simulate_route(plan, v, 1)
+    np.testing.assert_array_equal(out[rows, lanes], v[src_r, src_c])

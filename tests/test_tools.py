@@ -184,3 +184,65 @@ def test_execute_profiled_matches_and_reports(rmat10_edges):
     assert all(len(v) == 5 for v in timer.samples.values())
     np.testing.assert_allclose(ex_b.state_vector()["rank"],
                                ex_a.state_vector()["rank"], rtol=1e-12)
+
+
+def test_execute_profiled_convergence_flush(rmat10_edges):
+    """Profiled BFS to convergence must bit-match the fused loop — the
+    profiled path now runs the same post-convergence flush from the
+    stale x (reference: vertex_program.hpp:425-429)."""
+    import jax
+    import jax.numpy as jnp
+    from graphtap_tpu import Graph, GraphConfig, Compression, make_mesh
+    from graphtap_tpu.apps.bfs import BFSProgram, bfs_config
+    from graphtap_tpu.config import EngineConfig, Ordering
+    from graphtap_tpu.engine.executor import Executor
+
+    src, dst = rmat10_edges
+    mesh = make_mesh(jax.devices()[:4], shape=(2, 2))
+    g = Graph.from_edges(src, dst, None, bfs_config(1024), mesh=mesh)
+    eng = EngineConfig(stationary=False, apply_depends_on_iter=True,
+                       ordering=Ordering.ROW)
+    ex_a = Executor(g, BFSProgram(root=0), eng)
+    ex_a.initialize()
+    ex_a.execute(0)
+    ex_b = Executor(g, BFSProgram(root=0), eng)
+    ex_b.initialize()
+    ex_b.execute_profiled(0, printer=None)
+    assert ex_b.iteration == ex_a.iteration
+    for k in ex_a.state_vector():
+        np.testing.assert_array_equal(ex_b.state_vector()[k],
+                                      ex_a.state_vector()[k])
+
+
+def test_execute_profiled_cf_phases(rmat10_edges):
+    """Profiled TCSC_CF PageRank must run the first/middle/last phase
+    plans in the fused loop's positions (reference: spmv_stationary phase
+    gating, vertex_program.hpp:1243-1320) and bit-match execute()."""
+    import jax
+    import jax.numpy as jnp
+    from graphtap_tpu import Graph, GraphConfig, Compression, make_mesh
+    from graphtap_tpu.apps.degree import DegreeProgram
+    from graphtap_tpu.apps.pagerank import PageRankProgram
+    from graphtap_tpu.config import EngineConfig, Ordering
+    from graphtap_tpu.engine.executor import Executor
+
+    src, dst = rmat10_edges
+    mesh = make_mesh(jax.devices()[:4], shape=(2, 2))
+    cfg = GraphConfig(num_vertices=1024, directed=True, transpose=True,
+                      compression=Compression.TCSC_CF)
+    g = Graph.from_edges(src, dst, None, cfg, mesh=mesh)
+    deg = Executor(g, DegreeProgram(value_dtype=jnp.float64),
+                   EngineConfig(stationary=True, ordering=Ordering.COL),
+                   tiles=g.tiled(Ordering.COL, compression=Compression.TCSC))
+    deg.initialize()
+    deg.execute(1)
+    ex_a = Executor(g, PageRankProgram(value_dtype=jnp.float64),
+                    EngineConfig(stationary=True, ordering=Ordering.ROW))
+    ex_a.initialize(other=deg)
+    ex_a.execute(5)
+    ex_b = Executor(g, PageRankProgram(value_dtype=jnp.float64),
+                    EngineConfig(stationary=True, ordering=Ordering.ROW))
+    ex_b.initialize(other=deg)
+    ex_b.execute_profiled(5, printer=None)
+    np.testing.assert_allclose(ex_b.state_vector()["rank"],
+                               ex_a.state_vector()["rank"], rtol=1e-12)

@@ -56,7 +56,15 @@ g_cf = Graph.load("/root/reference/data/rmat10_1024.bin", cfg_cf,
 ex_cf = run_pagerank(g_cf, num_iterations=20, value_dtype=jnp.float64)
 cs_cf, reach_cf = ex_cf.checksum()
 
+# panel kernel across 2 real processes: per-device v3 plans padded to
+# the mesh max via the cross-process global_max inside build_spmv3_meta
+# (the distributed tile sweep, vertex_program.hpp:1058-1113)
+ex_p = run_pagerank(g, num_iterations=20, value_dtype=jnp.float32,
+                    kernel="panel")
+cs_p, reach_p = ex_p.checksum()
+
 if idx == 0:
     print(f"EDGES {total}")
     print(f"CHECKSUM {cs:.6f} {reach}")
-    print(f"CHECKSUM_CF {cs_cf:.6f} {reach_cf}", flush=True)
+    print(f"CHECKSUM_CF {cs_cf:.6f} {reach_cf}")
+    print(f"CHECKSUM_PANEL {cs_p:.6f} {reach_p}", flush=True)
