@@ -23,7 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SCALE = int(os.environ.get("SUITE_SCALE", "18"))
 PR_SCALE = int(os.environ.get("SUITE_PR_SCALE", "22"))
-KERNEL = os.environ.get("SUITE_KERNEL", "scan")
+KERNEL = os.environ.get("SUITE_KERNEL", "")   # default: panel on TPU
+# (the flagship kernel), portable scan elsewhere — resolved in main()
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -41,11 +42,54 @@ def emit(fh, rec):
     fh.flush()
 
 
+_DONE = set()
+
+
+def done(metric):
+    return metric in _DONE
+
+
 def _graph(scale, cfg_fn, weighted=False, mesh=None):
     from graphtap_tpu import Graph
     from graphtap_tpu.tools.artifact_cache import cached_rmat
     src, dst, w = cached_rmat(scale, 16, 1, CACHE, weighted=weighted)
     return Graph.from_edges(src, dst, w, cfg_fn(1 << scale), mesh=mesh)
+
+
+def _golden_nonstationary(name):
+    """Disk-memoized golden (checksum, reachable) for one app at SCALE
+    (reference analog: the SLURM greps of the checksum lines,
+    graphtap.slurm:101-104 — here checked against an independent NumPy
+    model instead of a second run)."""
+    import numpy as np
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    import golden
+    from graphtap_tpu.tools.artifact_cache import cached_rmat
+    gp = os.path.join(CACHE, f"golden_{name}_rmat{SCALE}_ef16_s1.txt")
+    if os.path.exists(gp):
+        cs, reach = open(gp).read().split()
+        return float(cs), int(reach)
+    nv = (1 << SCALE) + 1
+    if name == "sssp":
+        s, d, w = cached_rmat(SCALE, 16, 1, CACHE, weighted=True)
+        dist = golden.sssp(s.astype(np.int64), d.astype(np.int64),
+                           w.astype(np.int64), nv, 0)
+        m = dist != golden.INF
+        cs, reach = float(dist[m].sum()), int(m.sum())
+    else:
+        s, d, _ = cached_rmat(SCALE, 16, 1, CACHE)
+        if name == "bfs":
+            _, hops = golden.bfs(s.astype(np.int64), d.astype(np.int64),
+                                 nv, 0)
+            m = hops != golden.INF
+            cs, reach = float(hops[m].sum()), int(m.sum())
+        else:
+            lab = golden.cc(s.astype(np.int64), d.astype(np.int64), nv)
+            cs, reach = float(lab.sum()), int(lab.size)
+    with open(gp, "w") as f:
+        f.write(f"{cs!r} {reach}")
+    return cs, reach
 
 
 def nonstationary_apps(fh):
@@ -65,6 +109,9 @@ def nonstationary_apps(fh):
          dict(stationary=False, gather_depends_on_apply=True)),
     ]
     for name, cfg_fn, weighted, prog, eflags in runs:
+        if done(f"{name}_seconds_rmat{SCALE}"):
+            log(f"[suite] {name}: already recorded, skipping")
+            continue
         t0 = time.perf_counter()
         g = _graph(SCALE, cfg_fn, weighted=weighted)
         ex = Executor(g, prog,
@@ -85,6 +132,10 @@ def nonstationary_apps(fh):
         iters = ex.execute(0)          # to convergence
         dt = time.perf_counter() - t1
         cs, reach = ex.checksum()
+        gcs, greach = _golden_nonstationary(name)
+        assert cs == gcs and reach == greach, (
+            f"{name}: checksum {cs}/{reach} != golden {gcs}/{greach}")
+        log(f"[suite] {name}: checksum ok vs golden ({cs:.0f}/{reach})")
         nnz = ex.tiles.nnz_total
         emit(fh, {
             "metric": f"{name}_seconds_rmat{SCALE}", "value": round(dt, 3),
@@ -99,6 +150,9 @@ def nonstationary_apps(fh):
 
 
 def pagerank_large(fh):
+    if done(f"pagerank_iters_per_sec_rmat{PR_SCALE}"):
+        log("[suite] pagerank_large: already recorded, skipping")
+        return
     import jax.numpy as jnp
     from graphtap_tpu import GraphConfig, Compression
     from graphtap_tpu.apps.pagerank import run_pagerank
@@ -208,9 +262,19 @@ print(json.dumps(dict(nd={nd}, seconds=dt,
 
 
 def main():
+    global KERNEL
+    if not KERNEL:
+        import jax
+        KERNEL = "panel" if jax.devices()[0].platform == "tpu" else "scan"
     os.makedirs(CACHE, exist_ok=True)
-    with open(OUT, "w") as fh:
-        if not os.environ.get("SUITE_SKIP_SCALING"):
+    # resumable: metrics already in BENCH_SUITE.json are kept and skipped
+    if os.path.exists(OUT):
+        for ln in open(OUT):
+            if ln.strip():
+                _DONE.add(json.loads(ln)["metric"])
+    with open(OUT, "a") as fh:
+        if not os.environ.get("SUITE_SKIP_SCALING") and \
+                not done("cpu_mesh_scaling_rmat16"):
             scaling_table(fh)
         nonstationary_apps(fh)
         pagerank_large(fh)

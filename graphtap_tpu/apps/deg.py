@@ -1,5 +1,9 @@
-"""deg: degree binary (reference: src/apps/deg.cpp — stationary, _TCSC_,
-one iteration)."""
+"""deg: degree CLI binary (reference: src/apps/deg.cpp — stationary,
+_TCSC_, one iteration).
+
+``__main__`` shim only (the analog of the reference's thin .cpp main);
+import the API from ``graphtap_tpu.apps.degree`` (DegreeProgram,
+run_degree), not from here."""
 from graphtap_tpu import Graph, GraphConfig, Compression
 from graphtap_tpu.apps.degree import run_degree
 from graphtap_tpu.apps._cli import app_main, timed

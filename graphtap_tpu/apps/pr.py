@@ -2,7 +2,11 @@
 
 ``python -m graphtap_tpu.apps.pr <file> <nvertices> [<iters>]`` — one
 load of the transposed matrix with TCSC_CF, Deg on _COL_ then PR on
-_ROW_ with the state handoff (pr.cpp:36-50)."""
+_ROW_ with the state handoff (pr.cpp:36-50).
+
+``__main__`` shim only; import the API from
+``graphtap_tpu.apps.pagerank`` (PageRankProgram, run_pagerank), not
+from here."""
 from graphtap_tpu import Graph, GraphConfig, Compression
 from graphtap_tpu.apps.pagerank import run_pagerank
 from graphtap_tpu.apps._cli import app_main, timed

@@ -133,21 +133,19 @@ def _route_workers() -> int:
     return os.cpu_count() or 1
 
 
-_ROUTE_JOB = None       # (args tuple) inherited by forked workers (COW)
-
-
-def _route_job(bounds):
-    """Worker: solve one contiguous panel range of the inherited job."""
-    p0, p1 = bounds
-    (src_r, src_c, dst_stripe, dst_lane, panel_of, src_rows, fill_from,
-     relax_lane, max_row) = _ROUTE_JOB
-    sel = np.flatnonzero((panel_of >= p0) & (panel_of < p1))
+def _route_job(args):
+    """Worker: solve one contiguous panel range (spawned process — fork
+    from a JAX-threaded parent deadlocks on inherited locks; inputs
+    arrive downcast-pickled, ~5 B/slot)."""
+    (src_r, src_c, dst_stripe, dst_lane, panel_of, npan, src_rows,
+     fill_from, relax_lane, max_row) = args
     global RELAXED_SLOTS
     r0 = RELAXED_SLOTS
     plan, rows, lanes = _route_panels_seq(
-        src_r[sel], src_c[sel], dst_stripe[sel],
-        None if dst_lane is None else dst_lane[sel],
-        panel_of[sel] - p0, p1 - p0, src_rows,
+        src_r.astype(np.int64), src_c.astype(np.int64),
+        dst_stripe.astype(np.int64),
+        None if dst_lane is None else dst_lane.astype(np.int64),
+        panel_of.astype(np.int64), npan, src_rows,
         fill_from=fill_from, relax_lane=relax_lane, max_row=max_row)
     return (plan.idx1, plan.sel_a, plan.sel_b, plan.idx3,
             rows.astype(np.int8), lanes.astype(np.int8),
@@ -164,7 +162,7 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
     worker processes; the per-range plans concatenate panel-wise.  The
     route solver is ~75%% of total plan-build time (profiled at scale
     18), so this sets the wall-clock for RMAT-22+ planning."""
-    global _ROUTE_JOB, RELAXED_SLOTS
+    global RELAXED_SLOTS
     nw = min(_route_workers(), max(1, npanels // 32))
     if nw <= 1 or panel_of.size < 200_000:
         return _route_panels_seq(src_r, src_c, dst_stripe, dst_lane,
@@ -172,25 +170,39 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
                                  fill_from=fill_from,
                                  relax_lane=relax_lane, max_row=max_row)
     import multiprocessing as mp
-    bounds = [(npanels * k) // nw for k in range(nw + 1)]
-    jobs = [(bounds[k], bounds[k + 1]) for k in range(nw)
-            if bounds[k + 1] > bounds[k]]
-    _ROUTE_JOB = (src_r, src_c, dst_stripe, dst_lane, panel_of, src_rows,
-                  fill_from, relax_lane, max_row)
-    try:
-        ctx = mp.get_context("fork")
-        with ctx.Pool(processes=len(jobs)) as pool:
-            parts = pool.map(_route_job, jobs)
-    finally:
-        _ROUTE_JOB = None
+    order = np.argsort(panel_of, kind="stable")
+    nsh = max(nw, min(npanels, -(-panel_of.size // 6_000_000)))
+    pb = [(npanels * k) // nsh for k in range(nsh + 1)]
+    cuts = np.searchsorted(panel_of[order], pb)
+    jobs, sels = [], []
+    for k in range(nsh):
+        if pb[k + 1] <= pb[k]:
+            continue
+        sel = order[cuts[k]:cuts[k + 1]]
+        # downcast for the pickle across the spawn boundary (src_r <
+        # src_rows <= 2^15, lanes/stripes < 128): ~5 B/slot
+        jobs.append((src_r[sel].astype(np.int16),
+                     src_c[sel].astype(np.int8),
+                     dst_stripe[sel].astype(np.int8),
+                     None if dst_lane is None
+                     else dst_lane[sel].astype(np.int8),
+                     (panel_of[sel] - pb[k]).astype(np.int32),
+                     pb[k + 1] - pb[k], src_rows, fill_from, relax_lane,
+                     max_row))
+        sels.append(sel)
+    # spawn, not fork: the parent holds JAX's runtime threads and a
+    # forked child can inherit a held lock and futex-deadlock (observed
+    # at RMAT-22); spawned workers import only numpy
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(processes=min(nw, len(jobs))) as pool:
+        parts = pool.map(_route_job, jobs, chunksize=1)
     idx1 = np.concatenate([p[0] for p in parts])
     sel_a = np.concatenate([p[1] for p in parts])
     sel_b = np.concatenate([p[2] for p in parts])
     idx3 = np.concatenate([p[3] for p in parts])
     rows = np.full(panel_of.size, -1, dtype=np.int64)
     lanes = np.full(panel_of.size, -1, dtype=np.int64)
-    for (p0, p1), p in zip(jobs, parts):
-        sel = np.flatnonzero((panel_of >= p0) & (panel_of < p1))
+    for sel, p in zip(sels, parts):
         rows[sel] = p[4].astype(np.int64)
         lanes[sel] = p[5].astype(np.int64)
         RELAXED_SLOTS += p[6]
@@ -214,6 +226,12 @@ def _route_panels_seq(src_r, src_c, dst_stripe, dst_lane, panel_of,
     the caller consumes the RETURNED lane array rather than assuming
     dst_lane (the x->x_ext route, whose lane choice is planner-internal).
     Returns (RoutePlan, rows, lanes) with the chosen final positions."""
+    src_r = np.asarray(src_r, np.int64)
+    src_c = np.asarray(src_c, np.int64)
+    dst_stripe = np.asarray(dst_stripe, np.int64)
+    if dst_lane is not None:
+        dst_lane = np.asarray(dst_lane, np.int64)
+    panel_of = np.asarray(panel_of, np.int64)
     N = src_r.size
     assert N <= npanels * PSLOTS, (N, npanels)
     free_lane = dst_lane is None
@@ -985,11 +1003,12 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
             xr_bases[q, :wins.size] = wins
             xr_bases[q, wins.size:] = wins[-1]
         band = np.searchsorted(wins, xb_)
-        _srs.append(band * STRIPE + (u // LANES) % STRIPE)
-        _scs.append(u % LANES)
-        _dst.append(rows_ // STRIPE)
-        _dln.append(lanes_)
-        _pof.append(np.full(u.size, q, np.int64))
+        _srs.append((band * STRIPE + (u // LANES) % STRIPE).astype(
+            np.int16))
+        _scs.append((u % LANES).astype(np.int8))
+        _dst.append((rows_ // STRIPE).astype(np.int8))
+        _dln.append(lanes_.astype(np.int8))
+        _pof.append(np.full(u.size, q, np.int32))
     if slot_base:
         # relax_lane: the requested lanes are only a load-spreading
         # heuristic here (SLOT_W round-robin); the solver may overrule
@@ -1051,15 +1070,21 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
     k_in_p = _concat_ranges(ph_n)
     ph_row = np.full(k_in_p.size, XROWS - 1, dtype=np.int64)  # fill row
     ph_lane = k_in_p % LANES
-    all_sr = np.concatenate([(xe_pos // LANES) % XROWS, ph_row])
-    all_sc = np.concatenate([xe_pos % LANES, ph_lane])
-    all_st = np.concatenate([e_d0, ph_stripe])
-    all_p = np.concatenate([panel_of, ph_p])
+    all_sr = np.concatenate([(xe_pos // LANES) % XROWS,
+                             ph_row]).astype(np.int8)
+    all_sc = np.concatenate([xe_pos % LANES, ph_lane]).astype(np.int8)
+    all_st = np.concatenate([e_d0, ph_stripe]).astype(np.int8)
+    all_p = np.concatenate([panel_of, ph_p]).astype(np.int32)
     exp_route, exp_rows_all, exp_lanes_all = _route_panels(
         all_sr, all_sc, all_st, None, all_p, exp_panels, XROWS,
         fill_from=XROWS - 1)
-    e_erow = exp_rows_all[:E]
-    e_elane = exp_lanes_all[:E]
+    e_erow = exp_rows_all[:E].copy()
+    e_elane = exp_lanes_all[:E].copy()
+    # free the per-slot maps and phantom scaffolding (peak-RSS control:
+    # the planner must stay within ~0.4 KB/edge for RMAT-22+ host RAM)
+    del all_sr, all_sc, all_st, all_p, ph_row, ph_lane, ph_stripe, ph_p
+    del exp_rows_all, exp_lanes_all, xe_pos, xr_rows_all, xr_lanes_all
+    del k_in_p, slot_gid
     pos_in_stripe = (e_erow % STRIPE) * LANES + e_elane
     if _PLAN_DEBUG and E:
         _s0 = simulate_route(exp_route, _xext, exp_panels, 0.0)
@@ -1204,15 +1229,17 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
     ph_d1 = ps_of % NDIG
     kk2 = _concat_ranges(rem.sum(axis=1))
     ph_src2 = (NWIN - 1) * STRIPE * LANES + (kk2 % (STRIPE * LANES))
-    a_sr = np.concatenate([pa_src_row, ph_src2 // LANES])
-    a_sc = np.concatenate([pa_src_lane, ph_src2 % LANES])
-    a_st = np.concatenate([e_d1, ph_d1])
-    a_dl = np.concatenate([pa_lane, ph_lane2])
-    a_p = np.concatenate([e_pan, ph_p2])
+    a_sr = np.concatenate([pa_src_row, ph_src2 // LANES]).astype(np.int8)
+    a_sc = np.concatenate([pa_src_lane, ph_src2 % LANES]).astype(np.int8)
+    a_st = np.concatenate([e_d1, ph_d1]).astype(np.int8)
+    a_dl = np.concatenate([pa_lane, ph_lane2]).astype(np.int8)
+    a_p = np.concatenate([e_pan, ph_p2]).astype(np.int32)
     pa_route, _parows_all, _palanes = _route_panels(
         a_sr, a_sc, a_st, a_dl, a_p, pa_panels, NWIN * STRIPE,
         fill_from=(NWIN - 1) * STRIPE)
-    _parows = _parows_all[:E]
+    _parows = _parows_all[:E].copy()
+    del a_sr, a_sc, a_st, a_dl, a_p, _parows_all, _palanes
+    del pa_src_row, pa_src_lane, ph_src2, ph_lane2, ph_d1, ph_p2
 
     # ---- fixup: gather every edge's routed slot from s1 into per-
     # (region, block) chunk groups — lane-columns are (block, lr)-pure
@@ -1545,14 +1572,16 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
     ps_f = np.repeat(np.arange(fix_panels * NDIG), rem_f.sum(axis=1))
     kk_f = _concat_ranges(rem_f.sum(axis=1))
     ph_src_f = (fixr_nwin - 1) * STRIPE * LANES + (kk_f % (STRIPE * LANES))
-    fr_sr = np.concatenate([f_sr, ph_src_f // LANES])
-    fr_sc = np.concatenate([f_sc, ph_src_f % LANES])
-    fr_st = np.concatenate([e_fst, ps_f % NDIG])
-    fr_dl = np.concatenate([lanecol, ph_lane_f])
-    fr_p = np.concatenate([e_fp, ps_f // NDIG])
+    fr_sr = np.concatenate([f_sr, ph_src_f // LANES]).astype(np.int16)
+    fr_sc = np.concatenate([f_sc, ph_src_f % LANES]).astype(np.int8)
+    fr_st = np.concatenate([e_fst, ps_f % NDIG]).astype(np.int8)
+    fr_dl = np.concatenate([lanecol, ph_lane_f]).astype(np.int8)
+    fr_p = np.concatenate([e_fp, ps_f // NDIG]).astype(np.int32)
     fixr_route, _frrows, _frlanes = _route_panels(
         fr_sr, fr_sc, fr_st, fr_dl, fr_p, fix_panels, fixr_nwin * STRIPE,
         fill_from=(fixr_nwin - 1) * STRIPE)
+    del fr_sr, fr_sc, fr_st, fr_dl, fr_p, _frrows, _frlanes
+    del f_sr, f_sc, ph_src_f, ph_lane_f, ps_f
     if _PLAN_DEBUG and E:
         _s1f = np.concatenate([_s1.reshape(-1, STRIPE, LANES),
                                np.zeros((1, STRIPE, LANES), np.float32)])
