@@ -147,6 +147,11 @@ def main():
     upload_s += time.perf_counter() - t_c
     log(f"[bench] pr upload done t={time.perf_counter()-t0:.0f}s")
     pr_ex.initialize(other=deg_ex)
+    # release the degree phase's tiles + v1 plans from HBM (reference:
+    # the free() between programs, vertex_program.hpp:47-54) — at
+    # RMAT-22 the v1 shuffle plans alone are ~6 GB and the PR panel
+    # compile OOMs if both formats stay resident
+    deg_ex.free()
 
     nnz = pr_ex.tiles.nnz_total
 

@@ -150,52 +150,30 @@ def nonstationary_apps(fh):
 
 
 def pagerank_large(fh):
+    """Large-scale PR via the bench.py driver in a fresh subprocess
+    (shared artifact caches + the f64 golden checksum gate + the
+    degree-phase free()); the suite records the derived iters/s."""
     if done(f"pagerank_iters_per_sec_rmat{PR_SCALE}"):
         log("[suite] pagerank_large: already recorded, skipping")
         return
-    import jax.numpy as jnp
-    from graphtap_tpu import GraphConfig, Compression
-    from graphtap_tpu.apps.pagerank import run_pagerank
-    t0 = time.perf_counter()
-    g = _graph(PR_SCALE, lambda n: GraphConfig(
-        num_vertices=n, directed=True, transpose=True,
-        compression=Compression.TCSC))
-    from graphtap_tpu.apps.degree import DegreeProgram
-    from graphtap_tpu.apps.pagerank import PageRankProgram
-    from graphtap_tpu.config import EngineConfig, Ordering
-    from graphtap_tpu.engine.executor import Executor
-    deg_ex = Executor(g, DegreeProgram(value_dtype=jnp.float32),
-                      EngineConfig(stationary=True, ordering=Ordering.COL),
-                      kernel=KERNEL)
-    deg_ex.initialize()
-    deg_ex.execute(1)
-    pr_ex = Executor(g, PageRankProgram(value_dtype=jnp.float32),
-                     EngineConfig(stationary=True, ordering=Ordering.ROW),
-                     kernel=KERNEL)
-    pr_ex.initialize(other=deg_ex)
-    log("[suite] pr: " + pr_ex.tiles.balance_report())
-    iters = 5
-    t_w = time.perf_counter()
-    pr_ex.execute(iters)               # warmup/compile
-    warmup_s = time.perf_counter() - t_w
-    t_build = time.perf_counter() - t0
-    pr_ex.initialize(other=deg_ex)
-    t1 = time.perf_counter()
-    pr_ex.execute(iters)
-    dt = time.perf_counter() - t1
-    nnz = pr_ex.tiles.nnz_total
-    cs, _ = pr_ex.checksum()
+    import subprocess
+    env = dict(os.environ)
+    env["BENCH_SCALE"] = str(PR_SCALE)
+    env["BENCH_ITERS"] = os.environ.get("SUITE_PR_ITERS", "5")
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "bench.py")],
+        capture_output=True, text=True, env=env, timeout=14000)
+    if out.returncode != 0:
+        log(f"[suite] pagerank_large failed: {out.stderr[-800:]}")
+        return
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    d = rec["detail"]
     emit(fh, {
         "metric": f"pagerank_iters_per_sec_rmat{PR_SCALE}",
-        "value": round(iters / dt, 4), "unit": "iters/s",
-        "detail": {"edges": int(nnz), "iters": iters,
-                   "seconds": round(dt, 3),
-                   "gteps": round(nnz * iters / dt / 1e9, 4),
-                   "checksum": round(cs, 2), "kernel": KERNEL,
-                   "build_seconds": round(t_build, 1),
-                   "warmup_seconds": round(warmup_s, 1),
-                   "imbalance": round(
-                       pr_ex.tiles.edge_balance()["imbalance"], 3)}})
+        "value": round(d["iters"] / d["seconds"], 4), "unit": "iters/s",
+        "detail": {**d, "gteps": rec["value"],
+                   "vs_cpu_baseline": rec["vs_baseline"]}})
 
 
 def scaling_table(fh):

@@ -732,6 +732,21 @@ class Executor:
         )
         return jax.jit(shmapped)
 
+    def free(self) -> None:
+        """Release the device-resident tile and kernel-plan arrays
+        (reference: Vertex_Program::free(), vertex_program.hpp:47-54 —
+        called between the degree and PR programs to keep both formats
+        from coexisting in memory). The state pytree (V/C) survives so a
+        successor program can still initialize(other=self); execute()
+        after free() is an error."""
+        self._dev_tiles = None
+        self._shuffle_dev = None
+        self._shuffle_meta = None
+        self.__dict__.pop("_tile_pytree", None)
+        self.__dict__.pop("_cf_pytrees", None)
+        if hasattr(self, "_onehot_plans"):
+            self._onehot_plans = None
+
     # ------------------------------------------------------------------ API
     def execute(self, num_iterations: Optional[int] = None) -> int:
         """Run the loop; returns the iteration count

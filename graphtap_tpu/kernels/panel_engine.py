@@ -355,7 +355,7 @@ def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
     x_ext = route_passa(
         x2d, t["xr_bases"], t["xr_idx1"], t["xr_sela"], t["xr_selb"],
         t["xr_idx3"], fill, meta.exp_panels + 1, meta.xr_nwin,
-        interpret=interpret, out_rows=XROWS)
+        interpret=interpret, out_rows=XROWS, two_layer=False)
     # both routes emit their own trailing fill panel (meta panels + 1):
     # the pa/fixr fill windows at blocks exp_panels*8 / pa_panels*8 land
     # inside it — no concatenate-append of the 100+ MB streams

@@ -33,14 +33,24 @@ from graphtap_tpu.kernels.panel_plan import (LANES, PROWS, STRIPE, NDIG,
 
 
 def _route_body(nsrc_bands, mul_kind, fill, has_w, nwin_refs,
-                has_prefetch, *kern_args):
+                has_prefetch, two_layer, *kern_args):
     """Shared 3-stage route. kern_args layout: [(prefetch), *src_refs
-    (nwin_refs or 1), idx1, sel_a, sel_b, idx3, (w), out]."""
+    (nwin_refs or 1), idx1, sel_a, (sel_b if two_layer), idx3, (w),
+    out].  two_layer=False skips the whole w_b band sweep — half the
+    stage-2 crossbar work, for routes the planner solved single-layer
+    (the x->x_ext route, whose ~73% load leaves the greedy slack)."""
     if has_prefetch:
         kern_args = kern_args[1:]
     srcs = kern_args[:nwin_refs]
-    idx1_ref, sela_ref, selb_ref, idx3_ref = kern_args[nwin_refs:nwin_refs + 4]
-    w_ref = kern_args[nwin_refs + 4] if has_w else None
+    if two_layer:
+        idx1_ref, sela_ref, selb_ref, idx3_ref = \
+            kern_args[nwin_refs:nwin_refs + 4]
+        nplan = 4
+    else:
+        idx1_ref, sela_ref, idx3_ref = kern_args[nwin_refs:nwin_refs + 3]
+        selb_ref = None
+        nplan = 3
+    w_ref = kern_args[nwin_refs + nplan] if has_w else None
     out_ref = kern_args[-1]
 
     # stage 1: lane crossbar per source band
@@ -58,21 +68,27 @@ def _route_body(nsrc_bands, mul_kind, fill, has_w, nwin_refs,
     # stages 2+3 per output band
     for ob in range(out_ref.shape[0] // STRIPE):
         sla = sela_ref[ob * STRIPE:(ob + 1) * STRIPE, :].astype(jnp.int32)
-        slb = selb_ref[ob * STRIPE:(ob + 1) * STRIPE, :].astype(jnp.int32)
         wa = jnp.full((STRIPE, LANES), fill, out_ref.dtype)
-        wb = jnp.full((STRIPE, LANES), fill, out_ref.dtype)
         ra, ba = sla & 7, sla >> 3
-        rb, bb = slb & 7, slb >> 3
+        if two_layer:
+            slb = selb_ref[ob * STRIPE:(ob + 1) * STRIPE, :].astype(
+                jnp.int32)
+            wb = jnp.full((STRIPE, LANES), fill, out_ref.dtype)
+            rb, bb = slb & 7, slb >> 3
         for sb in range(nsrc_bands):
             ta = jnp.take_along_axis(us[sb], ra, axis=0)
             wa = jnp.where(ba == sb, ta, wa)
-            tb = jnp.take_along_axis(us[sb], rb, axis=0)
-            wb = jnp.where(bb == sb, tb, wb)
+            if two_layer:
+                tb = jnp.take_along_axis(us[sb], rb, axis=0)
+                wb = jnp.where(bb == sb, tb, wb)
         i3 = idx3_ref[ob * STRIPE:(ob + 1) * STRIPE, :].astype(jnp.int32)
         m = i3 & 127
         ga = jnp.take_along_axis(wa, m, axis=1)
-        gb = jnp.take_along_axis(wb, m, axis=1)
-        acc = jnp.where(i3 >= 128, gb, ga)
+        if two_layer:
+            gb = jnp.take_along_axis(wb, m, axis=1)
+            acc = jnp.where(i3 >= 128, gb, ga)
+        else:
+            acc = ga
         if has_w:
             w = w_ref[ob * STRIPE:(ob + 1) * STRIPE, :]
             if mul_kind == "mul":
@@ -194,7 +210,7 @@ def route_expand(x_ext, idx1, sel_a, sel_b, idx3, weights, fill,
     panels (npanels*64,128), ⊗-weighted."""
     has_w = weights is not None
     kern = functools.partial(_route_body, XROWS // STRIPE, mul_kind, fill,
-                             has_w, 1, False)
+                             has_w, 1, False, True)
     in_specs = [
         pl.BlockSpec((XROWS, LANES), lambda i: (i, 0)),
         pl.BlockSpec((XROWS, LANES), lambda i: (i, 0)),
@@ -219,30 +235,33 @@ def route_expand(x_ext, idx1, sel_a, sel_b, idx3, weights, fill,
 
 def route_passa(stream0, bases, idx1, sel_a, sel_b, idx3, fill,
                 npanels: int, nwin: int, interpret: bool = False,
-                out_rows: int = PROWS):
+                out_rows: int = PROWS, two_layer: bool = True):
     """Pass-A route: corner-turn reads of ``nwin`` stripe windows at
     prefetched bases (8-row block indices into stream0, which carries an
     appended all-fill panel), then the 3-stage route.  ``out_rows`` = 64
-    for the contribution stream, 32 (XROWS) for the x->x_ext route."""
+    for the contribution stream, 32 (XROWS) for the x->x_ext route.
+    ``two_layer=False`` for single-landing-layer plans (xr): sel_b is
+    ignored (not streamed) and stage 2 runs one band sweep."""
     kern = functools.partial(_route_body, nwin, "none", fill, False, nwin,
-                             True)
+                             True, two_layer)
 
     def mk_spec(t):
         return pl.BlockSpec((STRIPE, LANES),
                             lambda i, b, t=t: (b[i * nwin + t], 0))
 
+    plan_streams = [idx1, sel_a, sel_b, idx3] if two_layer else \
+        [idx1, sel_a, idx3]
+    plan_specs = [pl.BlockSpec((nwin * STRIPE, LANES),
+                               lambda i, b: (i, 0))] + \
+        [pl.BlockSpec((out_rows, LANES), lambda i, b: (i, 0))] * \
+        (len(plan_streams) - 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(npanels,),
-        in_specs=[mk_spec(t) for t in range(nwin)] + [
-            pl.BlockSpec((nwin * STRIPE, LANES), lambda i, b: (i, 0)),
-            pl.BlockSpec((out_rows, LANES), lambda i, b: (i, 0)),
-            pl.BlockSpec((out_rows, LANES), lambda i, b: (i, 0)),
-            pl.BlockSpec((out_rows, LANES), lambda i, b: (i, 0)),
-        ],
+        in_specs=[mk_spec(t) for t in range(nwin)] + plan_specs,
         out_specs=pl.BlockSpec((out_rows, LANES), lambda i, b: (i, 0)),
     )
-    args = [bases] + [stream0] * nwin + [idx1, sel_a, sel_b, idx3]
+    args = [bases] + [stream0] * nwin + plan_streams
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,

@@ -133,28 +133,35 @@ def _route_workers() -> int:
     return os.cpu_count() or 1
 
 
-def _route_job(args):
-    """Worker: solve one contiguous panel range (spawned process — fork
-    from a JAX-threaded parent deadlocks on inherited locks; inputs
-    arrive downcast-pickled, ~5 B/slot)."""
-    (src_r, src_c, dst_stripe, dst_lane, panel_of, npan, src_rows,
-     fill_from, relax_lane, max_row) = args
+def _route_worker_main(inp: str, outp: str) -> None:
+    """Subprocess worker: solve one contiguous panel range.  Launched
+    with this FILE loaded standalone (no package import, no jax): a
+    fork of the JAX-threaded parent can inherit a held lock and
+    futex-deadlock, and spawn/forkserver re-execute unguarded __main__
+    modules — a fresh subprocess over npz files has neither failure
+    mode.  Inputs are downcast (~5 B/slot)."""
+    z = np.load(inp)
+    npan, src_rows, fill_from, max_row, relax, onelay =         [int(v) for v in z["meta"]]
     global RELAXED_SLOTS
     r0 = RELAXED_SLOTS
     plan, rows, lanes = _route_panels_seq(
-        src_r.astype(np.int64), src_c.astype(np.int64),
-        dst_stripe.astype(np.int64),
-        None if dst_lane is None else dst_lane.astype(np.int64),
-        panel_of.astype(np.int64), npan, src_rows,
-        fill_from=fill_from, relax_lane=relax_lane, max_row=max_row)
-    return (plan.idx1, plan.sel_a, plan.sel_b, plan.idx3,
-            rows.astype(np.int8), lanes.astype(np.int8),
-            RELAXED_SLOTS - r0)
+        z["sr"].astype(np.int64), z["sc"].astype(np.int64),
+        z["st"].astype(np.int64),
+        z["dl"].astype(np.int64) if "dl" in z.files else None,
+        z["pof"].astype(np.int64), npan, src_rows,
+        fill_from=None if fill_from < 0 else fill_from,
+        relax_lane=bool(relax),
+        max_row=None if max_row < 0 else max_row,
+        one_layer=bool(onelay))
+    np.savez(outp, idx1=plan.idx1, sela=plan.sel_a, selb=plan.sel_b,
+             idx3=plan.idx3, rows=rows.astype(np.int8),
+             lanes=lanes.astype(np.int8),
+             relaxed=np.asarray([RELAXED_SLOTS - r0]))
 
 
 def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
                   src_rows, fill_from=None, relax_lane=False,
-                  max_row=None):
+                  max_row=None, one_layer=False):
     """Greedy 3-stage route assignment — parallel driver.
 
     Panels are independent in the solver (all state is per-panel), so
@@ -164,48 +171,90 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
     18), so this sets the wall-clock for RMAT-22+ planning."""
     global RELAXED_SLOTS
     nw = min(_route_workers(), max(1, npanels // 32))
-    if nw <= 1 or panel_of.size < 200_000:
+    # in-process sequential unless (a) the job is big enough that the
+    # solver's per-round temporaries must stay out of this process
+    # (RMAT-22+: the parent otherwise exceeds host memory limits), or
+    # (b) there are real cores to win on (2 "CPUs" here are HT siblings
+    # — measured 30% SLOWER with 2 workers than sequential)
+    if nw <= 1 or (nw <= 2 and panel_of.size < 48_000_000):
         return _route_panels_seq(src_r, src_c, dst_stripe, dst_lane,
                                  panel_of, npanels, src_rows,
                                  fill_from=fill_from,
-                                 relax_lane=relax_lane, max_row=max_row)
-    import multiprocessing as mp
+                                 relax_lane=relax_lane, max_row=max_row,
+                                 one_layer=one_layer)
+    import shutil
+    import subprocess
+    import sys
+    import tempfile
     order = np.argsort(panel_of, kind="stable")
     nsh = max(nw, min(npanels, -(-panel_of.size // 6_000_000)))
     pb = [(npanels * k) // nsh for k in range(nsh + 1)]
     cuts = np.searchsorted(panel_of[order], pb)
+    tmpdir = tempfile.mkdtemp(prefix="gt_route_")
     jobs, sels = [], []
-    for k in range(nsh):
-        if pb[k + 1] <= pb[k]:
-            continue
-        sel = order[cuts[k]:cuts[k + 1]]
-        # downcast for the pickle across the spawn boundary (src_r <
-        # src_rows <= 2^15, lanes/stripes < 128): ~5 B/slot
-        jobs.append((src_r[sel].astype(np.int16),
-                     src_c[sel].astype(np.int8),
-                     dst_stripe[sel].astype(np.int8),
-                     None if dst_lane is None
-                     else dst_lane[sel].astype(np.int8),
-                     (panel_of[sel] - pb[k]).astype(np.int32),
-                     pb[k + 1] - pb[k], src_rows, fill_from, relax_lane,
-                     max_row))
-        sels.append(sel)
-    # spawn, not fork: the parent holds JAX's runtime threads and a
-    # forked child can inherit a held lock and futex-deadlock (observed
-    # at RMAT-22); spawned workers import only numpy
-    ctx = mp.get_context("spawn")
-    with ctx.Pool(processes=min(nw, len(jobs))) as pool:
-        parts = pool.map(_route_job, jobs, chunksize=1)
-    idx1 = np.concatenate([p[0] for p in parts])
-    sel_a = np.concatenate([p[1] for p in parts])
-    sel_b = np.concatenate([p[2] for p in parts])
-    idx3 = np.concatenate([p[3] for p in parts])
-    rows = np.full(panel_of.size, -1, dtype=np.int64)
-    lanes = np.full(panel_of.size, -1, dtype=np.int64)
-    for sel, p in zip(sels, parts):
-        rows[sel] = p[4].astype(np.int64)
-        lanes[sel] = p[5].astype(np.int64)
-        RELAXED_SLOTS += p[6]
+    meta_tail = [-1 if fill_from is None else fill_from,
+                 -1 if max_row is None else max_row,
+                 int(relax_lane), int(one_layer)]
+    try:
+        for k in range(nsh):
+            if pb[k + 1] <= pb[k]:
+                continue
+            sel = order[cuts[k]:cuts[k + 1]]
+            arrs = dict(
+                sr=src_r[sel].astype(np.int16),
+                sc=src_c[sel].astype(np.int8),
+                st=dst_stripe[sel].astype(np.int8),
+                pof=(panel_of[sel] - pb[k]).astype(np.int32),
+                meta=np.asarray([pb[k + 1] - pb[k], src_rows]
+                                + meta_tail, np.int64))
+            if dst_lane is not None:
+                arrs["dl"] = dst_lane[sel].astype(np.int8)
+            inp = os.path.join(tmpdir, f"job{len(jobs)}.npz")
+            np.savez(inp, **arrs)
+            jobs.append(inp)
+            sels.append(sel)
+        # dedicated subprocesses loading THIS FILE standalone — see
+        # _route_worker_main for why not fork/spawn/forkserver pools
+        boot = ("import sys; from importlib import util; "
+                "spec = util.spec_from_file_location('gt_pp', sys.argv[1]); "
+                "m = util.module_from_spec(spec); "
+                "sys.modules['gt_pp'] = m; "      # dataclasses looks it up
+                "spec.loader.exec_module(m); "
+                "m._route_worker_main(sys.argv[2], sys.argv[3])")
+        pending = list(enumerate(jobs))
+        running = []
+        outs = [j + ".out.npz" for j in jobs]
+        while pending or running:
+            while pending and len(running) < nw:
+                i, inp = pending.pop(0)
+                pr = subprocess.Popen(
+                    [sys.executable, "-c", boot, os.path.abspath(__file__),
+                     inp, outs[i]],
+                    stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
+                running.append((i, pr))
+            i, pr = running[0]
+            _, err = pr.communicate()
+            running.pop(0)
+            if pr.returncode != 0:
+                tail = err.decode(errors="replace")[-2000:]
+                if "RouteInfeasible" in tail:
+                    raise RouteInfeasible(f"route worker {i}: {tail}")
+                raise RuntimeError(f"route worker {i} failed: {tail}")
+        parts = [np.load(o) for o in outs]
+        idx1 = np.concatenate([p["idx1"] for p in parts])
+        sel_a = np.concatenate([p["sela"] for p in parts])
+        sel_b = np.concatenate([p["selb"] for p in parts])
+        idx3 = np.concatenate([p["idx3"] for p in parts])
+        rows = np.full(panel_of.size, -1, dtype=np.int64)
+        lanes = np.full(panel_of.size, -1, dtype=np.int64)
+        for sel, p in zip(sels, parts):
+            rows[sel] = p["rows"].astype(np.int64)
+            lanes[sel] = p["lanes"].astype(np.int64)
+            RELAXED_SLOTS += int(p["relaxed"][0])
+        for p in parts:
+            p.close()
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
     plan = RoutePlan(idx1=idx1, sel_a=sel_a, sel_b=sel_b, idx3=idx3,
                      src_rows=src_rows)
     return plan, rows, lanes
@@ -213,7 +262,7 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
 
 def _route_panels_seq(src_r, src_c, dst_stripe, dst_lane, panel_of,
                       npanels, src_rows, fill_from=None, relax_lane=False,
-                      max_row=None):
+                      max_row=None, one_layer=False):
     """Greedy 3-stage route assignment with row freedom (per slot).
 
     A slot of panel p reads source (src_r, src_c) and must land anywhere
@@ -429,6 +478,11 @@ def _route_panels_seq(src_r, src_c, dst_stripe, dst_lane, panel_of,
                 fin_free &= rows8 < max_row
             ok_a = ((la == 0) | (la == rc[pend][None])) & fin_free
             ok_b = ((lb == 0) | (lb == rc[pend][None])) & fin_free
+            if one_layer:
+                # single landing layer: the kernel then skips the whole
+                # w_b band sweep (half the stage-2 crossbar work) — used
+                # by routes whose load leaves the greedy placement slack
+                ok_b[:] = False
             okrow = ok_a | ok_b
             tsel = np.argmax(okrow, axis=0)
             ok = ok_src & okrow.any(axis=0)
@@ -477,7 +531,7 @@ def _route_panels_seq(src_r, src_c, dst_stripe, dst_lane, panel_of,
         def _spot_f(e, m):
             p = panel_of[e]
             rows = dst_stripe[e] * STRIPE + np.arange(STRIPE)
-            for ly in range(2):
+            for ly in range(1 if one_layer else 2):
                 la = land[ly, p, rows, m]
                 for tr in range(STRIPE):
                     if max_row is not None and rows[tr] >= max_row:
@@ -518,7 +572,8 @@ def _route_panels_seq(src_r, src_c, dst_stripe, dst_lane, panel_of,
                     l0 = land[0, p, row, m]
                     l1 = land[1, p, row, m]
                     ly_e = 0 if (l0 == 0 or l0 == rc[e]) else \
-                        (1 if (l1 == 0 or l1 == rc[e]) else -1)
+                        (1 if (not one_layer and (l1 == 0 or l1 == rc[e]))
+                         else -1)
                     if ly_e < 0:
                         continue
                     bslot = int(final_who[p, row, dst_lane[e]])
@@ -546,10 +601,34 @@ def _route_panels_seq(src_r, src_c, dst_stripe, dst_lane, panel_of,
                 RELAXED_SLOTS += 1
                 for m in _viable_mf(e):
                     rows = dst_stripe[e] * STRIPE + np.arange(STRIPE)
-                    for ly in range(2):
+                    for ly in range(1 if one_layer else 2):
                         for row in rows:
                             if max_row is not None and row >= max_row:
                                 continue
+                            la = land[ly, p, row, m]
+                            if la != 0 and la != rc[e]:
+                                continue
+                            fl = np.flatnonzero(~final_used[p, row])
+                            if fl.size:
+                                _place_f(e, int(m), int(row), ly,
+                                         lane=int(fl[0]))
+                                done = True
+                                break
+                        if done:
+                            break
+                    if done:
+                        break
+            if not done and relax_lane:
+                # ultimate tier: for relax_lane callers the requested
+                # STRIPE is planner-internal too (x->x_ext: only xe_pos
+                # consumes the final position), so place at ANY row of
+                # the panel with a compatible landing and a free lane —
+                # this keeps the quota ladder on its first rung (a rung
+                # drop costs ~17% more panels across every stage)
+                nrows_all = max_row if max_row is not None else PROWS
+                for m in _viable_mf(e):
+                    for ly in range(1 if one_layer else 2):
+                        for row in range(nrows_all):
                             la = land[ly, p, row, m]
                             if la != 0 and la != rc[e]:
                                 continue
@@ -1025,7 +1104,7 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
             np.concatenate(_srs), np.concatenate(_scs),
             np.concatenate(_dst), np.concatenate(_dln),
             np.concatenate(_pof), exp_panels, NWIN_X * STRIPE,
-            relax_lane=True, max_row=XROWS - 1)
+            relax_lane=True, max_row=XROWS - 1, one_layer=True)
     else:
         xr_route64, _r, _l = _route_panels(
             np.zeros(0, np.int64), np.zeros(0, np.int64),

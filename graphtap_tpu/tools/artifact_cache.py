@@ -113,7 +113,7 @@ _S3_SCALARS = ("NC", "nblocks", "dense_rows", "exp_panels", "pa_panels",
 # bump when Spmv3Meta's field set or the plan layout changes: stale
 # cached plans are REBUILT (None from load) instead of crashing the
 # warm-cache path with a TypeError
-_S3_VERSION = 6
+_S3_VERSION = 8
 
 
 def save_spmv3_meta(m, path: str) -> None:

@@ -147,7 +147,7 @@ def test_panel_kernels_match_simulator(kind):
                         jnp.asarray(plan.xr_route.sel_b),
                         jnp.asarray(plan.xr_route.idx3),
                         fill, plan.exp_panels, NWIN_X, interpret=True,
-                        out_rows=XROWS)
+                        out_rows=XROWS, two_layer=False)
     w_stream = (jnp.asarray(plan.w_stream) if plan.w_stream is not None
                 else None)
     s0 = route_expand(jnp.asarray(x_ext), jnp.asarray(plan.exp_route.idx1),
