@@ -41,7 +41,9 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def get_artifacts(graph, ordering, kernel, value_dtype):
+def get_artifacts(graph, ordering, kernel, value_dtype, t0=None):
+    import time as _t
+    _ts = _t.perf_counter()
     """Tiles + shuffle plans for one ordering, disk-memoized."""
     import numpy as np
     from graphtap_tpu.tools import artifact_cache as ac
@@ -54,7 +56,9 @@ def get_artifacts(graph, ordering, kernel, value_dtype):
     else:
         tiles = graph.tiled(ordering)
         ac.save_tileset(tiles, tp)
-    log(f"[bench] tiles({ordering.value}) ready")
+    log(f"[bench] tiles({ordering.value}) ready "
+        f"(+{_t.perf_counter()-_ts:.0f}s)")
+    _ts = _t.perf_counter()
     plans = None
     if kernel == "shuffle":
         pp = os.path.join(CACHE, f"plans_{key}_{np.dtype(value_dtype).name}.npz")
@@ -65,7 +69,8 @@ def get_artifacts(graph, ordering, kernel, value_dtype):
             plans = build_shuffle_plans(tiles,
                                         value_dtype=np.dtype(value_dtype))
             ac.save_shuffle_plans(plans, pp)
-        log(f"[bench] plans({ordering.value}) ready")
+        log(f"[bench] plans({ordering.value}) ready "
+            f"(+{_t.perf_counter()-_ts:.0f}s)")
     elif kernel == "shuffle2":
         pp = os.path.join(CACHE,
                           f"plans2_{key}_{np.dtype(value_dtype).name}.npz")
@@ -75,7 +80,8 @@ def get_artifacts(graph, ordering, kernel, value_dtype):
             from graphtap_tpu.kernels.gather_engine import build_spmv2_meta
             plans = build_spmv2_meta(tiles, value_dtype=np.dtype(value_dtype))
             ac.save_spmv2_meta(plans, pp)
-        log(f"[bench] plans2({ordering.value}) ready")
+        log(f"[bench] plans2({ordering.value}) ready "
+            f"(+{_t.perf_counter()-_ts:.0f}s)")
     elif kernel == "panel":
         pp = os.path.join(CACHE,
                           f"plans3_{key}_{np.dtype(value_dtype).name}.npz")
@@ -84,7 +90,8 @@ def get_artifacts(graph, ordering, kernel, value_dtype):
             from graphtap_tpu.kernels.panel_engine import build_spmv3_meta
             plans = build_spmv3_meta(tiles, value_dtype=np.dtype(value_dtype))
             ac.save_spmv3_meta(plans, pp)
-        log(f"[bench] plans3({ordering.value}) ready")
+        log(f"[bench] plans3({ordering.value}) ready "
+            f"(+{_t.perf_counter()-_ts:.0f}s)")
     return tiles, plans
 
 

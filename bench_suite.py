@@ -133,7 +133,12 @@ def nonstationary_apps(fh):
         dt = time.perf_counter() - t1
         cs, reach = ex.checksum()
         gcs, greach = _golden_nonstationary(name)
-        assert cs == gcs and reach == greach, (
+        # reachable count must match exactly; the value checksum gets a
+        # tiny relative tolerance — at larger SUITE_SCALE the device f32
+        # accumulation leaves the exactly-representable integer range
+        # even on a correct run
+        assert reach == greach and (
+            cs == gcs or abs(cs - gcs) <= 1e-6 * max(abs(gcs), 1.0)), (
             f"{name}: checksum {cs}/{reach} != golden {gcs}/{greach}")
         log(f"[suite] {name}: checksum ok vs golden ({cs:.0f}/{reach})")
         nnz = ex.tiles.nnz_total

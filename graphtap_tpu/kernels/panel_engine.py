@@ -6,9 +6,10 @@ shapes normalized across the mesh (idle pad panels fold into a scratch
 y row), arrays stacked with a leading device axis.
 
 Pipeline per device:
-  x → v2-gather x_ext → route_expand (⊗w) → route_passa (corner turn)
-  → fold_stripes (pass B) → v2-gather piece stack → colsum_chunks
-  → compact y → v2-gather mexp → dense y row block.
+  x → route x_ext → route_expand (⊗w) → route_passa (corner turn)
+  → route_fold (fixup, segmented y_mid) → hub_fold → route_fold (fix2,
+  straight into the dense y layout — the planner maps destinations
+  through the TCSC renumbering's inverse, so no expansion gather).
 """
 
 from __future__ import annotations
@@ -26,19 +27,19 @@ from graphtap_tpu.kernels.semiring import Semiring
 from graphtap_tpu.kernels.panel_plan import (Spmv3Plan, build_spmv3_plan,
                                              RoutePlan, LANES, PROWS,
                                              STRIPE, XROWS, FOLD_SEG_ROWS)
-from graphtap_tpu.kernels.panel_kernels import (route_expand, route_passa,
-                                                route_fold)
-from graphtap_tpu.kernels.gather_engine import _pad_gather_plan
-from graphtap_tpu.kernels.gather_kernels import (windowed_gather,
-                                                 seg_round_rows)
+from graphtap_tpu.kernels.panel_kernels import (route_passa, route_fold,
+                                                route_xr_exp, hub_fold,
+                                                pack_route_plan)
 
 
 @dataclass
 class Spmv3Meta:
     """Static meta + device-stacked plan arrays (dict of (D, ...) numpy)."""
     NC: int
-    nblocks: int            # compact y rows + 8 scratch (idle pad target)
+    nblocks: int            # compact y rows + 8 scratch (diagnostic only)
     dense_rows: int
+    f2_rows: int            # fix2 fold table rows (dense + scratch,
+                            # rounded to whole FOLD_SEG_ROWS segments)
     exp_panels: int
     pa_panels: int
     pa_nwin: int
@@ -52,9 +53,6 @@ class Spmv3Meta:
     xr_nwin: int            # x->x_ext route window operands per panel
     sx_rows: int            # padded x table rows
     has_w: bool
-    nsub: Dict[str, int]    # v2-gather stages: mexp
-    out_rows: Dict[str, int]
-    src_rows: Dict[str, int]
     arrays: Dict[str, np.ndarray]
 
     def device_arrays(self, mesh):
@@ -207,39 +205,22 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
         # rounds to whole segments
         nrb = -(-nrb // FOLD_SEG_ROWS) * FOLD_SEG_ROWS
     nblocks = int(mh.global_max(max(p.nblocks for p in plans))) + STRIPE
-    dense_rows = seg_round_rows(
-        int(mh.global_max(max(p.dense_rows for p in plans))))
+    dense_rows = int(mh.global_max(max(p.dense_rows for p in plans)))
+    # fix2 folds straight into the DENSE y layout (one scratch block for
+    # pad chunks past dense_len); the table streams FOLD_SEG_ROWS-row
+    # VMEM segments when it spans more than one
+    f2_rows = dense_rows + STRIPE
+    if f2_rows > FOLD_SEG_ROWS:
+        f2_rows = -(-f2_rows // FOLD_SEG_ROWS) * FOLD_SEG_ROWS
     xext_rows = exp_panels * XROWS
     has_w = tiles.weights is not None
 
     from graphtap_tpu.kernels.panel_plan import NWIN_X
     xr_nwin = NWIN_X
 
-    # v2 sub-gather dims
-    nsub = {}
-    out_rows = {}
-    src_rows = {}
     sx = -(-(-(-NC // LANES)) // STRIPE) * STRIPE
-    for k, sr_, orows in (("mexp", nblocks, dense_rows),):
-        gs = [getattr(p, k) for p in plans]
-        nsub[k] = int(mh.global_max(max(g.nsub for g in gs)))
-        out_rows[k] = orows
-        src_rows[k] = sr_
-
-    cidx_blocks = {k: int(mh.global_max(max(getattr(p, k).cidx.shape[0]
-                                            for p in plans)))
-                   for k in ("mexp",)}
     arrs: Dict[str, List[np.ndarray]] = {}
     for b, p in enumerate(plans):
-        for k in ("mexp",):
-            g = getattr(p, k)
-            gp = _pad_gather_plan(g, out_rows[k] // g.block_rows, nsub[k],
-                                  src_rows[k], cidx_blocks[k])
-            arrs.setdefault(f"{k}_wsel", []).append(gp.wsel)
-            arrs.setdefault(f"{k}_base", []).append(gp.base)
-            arrs.setdefault(f"{k}_nact", []).append(gp.nact)
-            arrs.setdefault(f"{k}_cidx", []).append(gp.cidx)
-            arrs.setdefault(f"{k}_meta", []).append(gp.meta)
         er = _append_fill_panel(_pad_route(p.exp_route, p.exp_panels,
                                            exp_panels))
         pr = _append_fill_panel(_pad_route(p.pa_route, p.pa_panels,
@@ -285,12 +266,28 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
         arrs.setdefault("fixr_bases", []).append(fb)
         arrs.setdefault("xr_bases", []).append(xb)
         arrs.setdefault("f2_bases", []).append(f2b)
-        for nm, rt in (("exp", er), ("pa", pr), ("fixr", fr), ("xr", xr),
-                       ("f2", f2)):
-            arrs.setdefault(f"{nm}_idx1", []).append(rt.idx1)
-            arrs.setdefault(f"{nm}_sela", []).append(rt.sel_a)
-            arrs.setdefault(f"{nm}_selb", []).append(rt.sel_b)
-            arrs.setdefault(f"{nm}_idx3", []).append(rt.idx3)
+        # one packed uint8 plan stream per route (idx1+sel_a+sel_b+idx3
+        # row-concatenated per panel): a single DMA stream per grid step
+        # instead of four — the per-stream bookkeeping was the dominant
+        # fixed cost of every route stage (docs/KERNEL_NOTES.md round 5)
+        for nm, rt, npan, orows, twol in (
+                ("pa", pr, pa_panels + 1, PROWS, True),
+                ("fixr", fr, fix_panels, PROWS, True),
+                ("f2", f2, f2_panels, PROWS, True)):
+            arrs.setdefault(f"{nm}_plan", []).append(pack_route_plan(
+                rt.idx1, rt.sel_a, rt.sel_b, rt.idx3, npan, rt.src_rows,
+                out_rows=orows, two_layer=twol))
+        # fused x->x_ext + expand: both routes' plan blocks concatenated
+        # per panel (the x_ext stream never exists in HBM)
+        npan_xe = exp_panels + 1
+        xr_pk = pack_route_plan(
+            xr.idx1, xr.sel_a, xr.sel_b, xr.idx3, npan_xe, xr.src_rows,
+            out_rows=XROWS, two_layer=False).reshape(npan_xe, -1, LANES)
+        ex_pk = pack_route_plan(
+            er.idx1, er.sel_a, er.sel_b, er.idx3, npan_xe, er.src_rows,
+            out_rows=PROWS, two_layer=True).reshape(npan_xe, -1, LANES)
+        arrs.setdefault("xe_plan", []).append(
+            np.concatenate([xr_pk, ex_pk], axis=1).reshape(-1, LANES))
         # pad chunks fold into the scratch row blocks; dst entries are
         # SEGMENT-RELATIVE for the segmented route_fold, with per-panel
         # segment ids (non-decreasing: real panels are planner-sorted,
@@ -299,6 +296,24 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
         fd[:p.fix_dst.size] = p.fix_dst
         sg = np.full(fix_panels, (nrb - STRIPE) // FOLD_SEG_ROWS, np.int64)
         sg[:p.fixr_seg.size] = p.fixr_seg
+        # a device whose local nrb is smaller than the global table would
+        # otherwise skip the tail segments entirely, leaving their y_mid
+        # rows UNINITIALIZED (today provably unread by fix2, but hub_fold
+        # streams the whole table) — point the pad panels at the missing
+        # segments in order so every segment gets its ini=1 fill pass.
+        # Local segments are contiguous from 0, so the missing ones are a
+        # tail range and the non-decreasing panel order is preserved.
+        nseg1 = nrb // FOLD_SEG_ROWS if nrb > FOLD_SEG_ROWS else 1
+        have1 = set(sg[:p.fix_panels].tolist())
+        miss1 = [s_ for s_ in range(nseg1) if s_ not in have1]
+        npad1 = fix_panels - p.fix_panels
+        assert len(miss1) <= npad1 or not miss1, (
+            f"fixr: {len(miss1)} uncovered fold segments but only "
+            f"{npad1} pad panels")
+        for k_, s_ in enumerate(miss1):
+            sg[p.fix_panels + k_] = s_
+            fd[(p.fix_panels + k_) * STRIPE:(p.fix_panels + k_ + 1)
+               * STRIPE] = s_ * FOLD_SEG_ROWS
         assert (np.diff(sg) >= 0).all(), "fixr panels not segment-sorted"
         fd_rel = fd - np.repeat(sg, STRIPE) * FOLD_SEG_ROWS
         seg_rows = min(nrb, FOLD_SEG_ROWS)
@@ -313,10 +328,35 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
         hm = np.zeros(nrb, dtype=np.uint8)
         hm[:min(p.hub_mask.size, nrb)] = \
             p.hub_mask[:nrb].astype(np.uint8)
-        arrs.setdefault("hub_mask", []).append(hm)
-        fd2 = np.full(fix2_chunks, nblocks - STRIPE, np.int32)
+        # 2D broadcast for the one-pass hub_fold kernel's streamed read
+        arrs.setdefault("hub_mask", []).append(
+            np.broadcast_to(hm[:, None], (nrb, LANES)).copy())
+        # fix2: pad panels fold into the scratch block in the LAST
+        # segment; real dst entries become segment-relative (dense rows)
+        seg_rows2 = min(f2_rows, FOLD_SEG_ROWS)
+        fd2 = np.full(fix2_chunks, f2_rows - STRIPE, np.int64)
         fd2[:p.fix2_dst.size] = p.fix2_dst
-        arrs.setdefault("fix2_dst", []).append(fd2)
+        sg2 = np.full(f2_panels, (f2_rows - STRIPE) // FOLD_SEG_ROWS,
+                      np.int64)
+        sg2[:p.f2_seg.size] = p.f2_seg
+        assert (np.diff(sg2) >= 0).all(), "f2 panels not segment-sorted"
+        fd2_rel = fd2 - np.repeat(sg2, STRIPE) * FOLD_SEG_ROWS
+        assert fd2_rel.min() >= 0 and fd2_rel.max() < seg_rows2, (
+            fd2_rel.min(), fd2_rel.max(), seg_rows2)
+        ini2 = np.zeros(f2_panels, np.int32)
+        ini2[0] = 1
+        ini2[1:] = (sg2[1:] != sg2[:-1]).astype(np.int32)
+        arrs.setdefault("fix2_dst", []).append(fd2_rel.astype(np.int32))
+        arrs.setdefault("f2_seg", []).append(sg2.astype(np.int32))
+        arrs.setdefault("f2_ini", []).append(ini2)
+        # dense segments no panel of THIS device visits are never written
+        # by route_fold — unlike y_mid, the dense y is consumed in full
+        # by the exchange, so spmv3_local masks those rows to the
+        # ⊕-identity (cells can be mid-range sparse on sharded tiles)
+        nseg2 = max(1, f2_rows // seg_rows2)
+        segok = np.zeros(nseg2, np.int32)
+        segok[np.unique(sg2)] = 1
+        arrs.setdefault("f2_segok", []).append(segok)
         if has_w:
             ws = np.zeros(((exp_panels + 1) * PROWS, LANES),
                           dtype=value_dtype)
@@ -326,14 +366,14 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
 
     arrays = {k: np.stack(v) for k, v in arrs.items()}
     return Spmv3Meta(NC=NC, nblocks=nblocks, dense_rows=dense_rows,
+                     f2_rows=f2_rows,
                      exp_panels=exp_panels, pa_panels=pa_panels,
                      pa_nwin=nwin, fix_panels=fix_panels,
                      fixr_nwin=fixr_nwin,
                      fix2_chunks=fix2_chunks, f2_panels=f2_panels,
                      f2_nwin=f2_nwin, nrb=nrb,
                      xext_rows=xext_rows, xr_nwin=xr_nwin, sx_rows=sx,
-                     has_w=has_w, nsub=nsub,
-                     out_rows=out_rows, src_rows=src_rows, arrays=arrays)
+                     has_w=has_w, arrays=arrays)
 
 
 def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
@@ -349,50 +389,40 @@ def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
         [x, jnp.full((sx * LANES - x.shape[0],), fill, x.dtype)])
     x2d = xp.reshape(sx, LANES)
 
-    # x -> x_ext is a pass-A-flavor route over the panel's <= NWIN_X
-    # source x windows (one grid step per panel; replaced the windowed
-    # gather whose grid overhead was 55% of the kernel pipeline)
-    x_ext = route_passa(
-        x2d, t["xr_bases"], t["xr_idx1"], t["xr_sela"], t["xr_selb"],
-        t["xr_idx3"], fill, meta.exp_panels + 1, meta.xr_nwin,
-        interpret=interpret, out_rows=XROWS, two_layer=False)
-    # both routes emit their own trailing fill panel (meta panels + 1):
-    # the pa/fixr fill windows at blocks exp_panels*8 / pa_panels*8 land
-    # inside it — no concatenate-append of the 100+ MB streams
-    s0 = route_expand(
-        x_ext, t["exp_idx1"], t["exp_sela"], t["exp_selb"], t["exp_idx3"],
-        t.get("w_stream"), fill, meta.exp_panels + 1, mul_kind=mul_kind,
+    # x -> x_ext -> s0 is ONE fused kernel: the x->x_ext route runs over
+    # the panel's <= NWIN_X source x windows and the expand route
+    # consumes the register-resident x_ext bands immediately (the x_ext
+    # stream never round-trips HBM).  Both emit their trailing fill
+    # panel (meta panels + 1): the pa/fixr fill windows at blocks
+    # exp_panels*8 / pa_panels*8 land inside it.
+    s0 = route_xr_exp(
+        x2d, t["xr_bases"], t["xe_plan"], t.get("w_stream"), fill,
+        meta.exp_panels + 1, meta.xr_nwin, mul_kind=mul_kind,
         interpret=interpret)
     s1 = route_passa(
-        s0, t["pa_bases"], t["pa_idx1"], t["pa_sela"], t["pa_selb"],
-        t["pa_idx3"], fill, meta.pa_panels + 1, meta.pa_nwin,
-        interpret=interpret)
+        s0, t["pa_bases"], t["pa_plan"], fill, meta.pa_panels + 1,
+        meta.pa_nwin, interpret=interpret)
     y_mid = route_fold(
-        s1, t["fixr_bases"], t["fixr_idx1"], t["fixr_sela"],
-        t["fixr_selb"], t["fixr_idx3"], t["fix_dst"], meta.nrb,
+        s1, t["fixr_bases"], t["fixr_plan"], t["fix_dst"], meta.nrb,
         semiring.reduce_kind, fill, meta.fix_panels, meta.fixr_nwin,
         seg=t["fixr_seg"], ini=t["fixr_ini"], interpret=interpret)
     # hub rows: lane-⊕-fold at the row's packed slot width (hub_mask
     # codes 32/64/128; several hubs share a row at 2^c-lane boundaries)
-    # so fix2 reads one conflict-free cell per hub
-    hm = t["hub_mask"].astype(jnp.int32)
-    nr_ = y_mid.shape[0]
-    for W in (32, 64, 128):
-        if semiring.reduce_kind == "sum":
-            f = jnp.sum(y_mid.reshape(nr_, 128 // W, W), axis=2)
-        elif semiring.reduce_kind == "min":
-            f = jnp.min(y_mid.reshape(nr_, 128 // W, W), axis=2)
-        else:
-            f = jnp.max(y_mid.reshape(nr_, 128 // W, W), axis=2)
-        f = jnp.repeat(f, W, axis=1)
-        y_mid = jnp.where((hm == W)[:, None], f, y_mid)
-    y = route_fold(
-        y_mid, t["f2_bases"], t["f2_idx1"], t["f2_sela"], t["f2_selb"],
-        t["f2_idx3"], t["fix2_dst"], meta.nblocks,
+    # so fix2 reads one conflict-free cell per hub — one streamed
+    # butterfly pass instead of three XLA where-passes
+    y_mid = hub_fold(y_mid, t["hub_mask"], semiring.reduce_kind,
+                     interpret=interpret)
+    # fix2 lands straight in the dense y layout (the planner mapped each
+    # cell through the TCSC renumbering's inverse) — no expansion gather
+    y_dense = route_fold(
+        y_mid, t["f2_bases"], t["f2_plan"], t["fix2_dst"], meta.f2_rows,
         semiring.reduce_kind, fill, meta.f2_panels, meta.f2_nwin,
-        interpret=interpret)
-    y_dense = windowed_gather(
-        y, t["mexp_wsel"], t["mexp_base"], t["mexp_nact"], t["mexp_cidx"],
-        t["mexp_meta"], None, fill, meta.out_rows["mexp"],
-        meta.nsub["mexp"], mul_kind="none", interpret=interpret)
+        seg=t["f2_seg"], ini=t["f2_ini"], interpret=interpret)
+    # rows of dense segments this device never visited are uninitialized
+    # memory — mask them to the ⊕-identity before the exchange (skipped
+    # statically when every device covers every segment, the common case)
+    if not bool(meta.arrays["f2_segok"].all()):
+        seg_rows2 = min(meta.f2_rows, FOLD_SEG_ROWS)
+        ok = jnp.repeat(t["f2_segok"] != 0, seg_rows2)[:, None]
+        y_dense = jnp.where(ok, y_dense, fill)
     return y_dense.reshape(-1)[:dense_len]

@@ -224,19 +224,25 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
         pending = list(enumerate(jobs))
         running = []
         outs = [j + ".out.npz" for j in jobs]
+        # stderr goes to a per-job FILE: a PIPE drained only for the head
+        # of the queue would deadlock any non-head worker that emits more
+        # than the pipe buffer (e.g. a long traceback + numpy warnings)
         while pending or running:
             while pending and len(running) < nw:
                 i, inp = pending.pop(0)
+                ef = open(inp + ".err", "wb")
                 pr = subprocess.Popen(
                     [sys.executable, "-c", boot, os.path.abspath(__file__),
                      inp, outs[i]],
-                    stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
-                running.append((i, pr))
-            i, pr = running[0]
-            _, err = pr.communicate()
+                    stdout=subprocess.DEVNULL, stderr=ef)
+                ef.close()
+                running.append((i, pr, inp + ".err"))
+            i, pr, epath = running[0]
+            pr.wait()
             running.pop(0)
             if pr.returncode != 0:
-                tail = err.decode(errors="replace")[-2000:]
+                with open(epath, "rb") as f:
+                    tail = f.read().decode(errors="replace")[-2000:]
                 if "RouteInfeasible" in tail:
                     raise RouteInfeasible(f"route worker {i}: {tail}")
                 raise RuntimeError(f"route worker {i} failed: {tail}")
@@ -258,6 +264,134 @@ def _route_panels(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
     plan = RoutePlan(idx1=idx1, sel_a=sel_a, sel_b=sel_b, idx3=idx3,
                      src_rows=src_rows)
     return plan, rows, lanes
+
+
+_NATIVE_LIB = None
+_NATIVE_TRIED = False
+
+
+def _native_route_lib():
+    """ctypes handle to the native route solver, or None.  Self-contained
+    (no package import): route workers load THIS FILE standalone."""
+    global _NATIVE_LIB, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE_LIB
+    _NATIVE_TRIED = True
+    if os.environ.get("GRAPHTAP_NATIVE_ROUTE", "1") == "0":
+        return None
+    import ctypes
+    d = os.path.abspath(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "..", "native"))
+    p = os.path.join(d, "libgraphtap_host.so")
+    if not os.path.exists(p):
+        try:
+            import subprocess
+            subprocess.run(["make", "-C", d, "-s"], check=True,
+                           capture_output=True, timeout=180)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(p)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.gt_route_solve.restype = ctypes.c_longlong
+        lib.gt_route_solve.argtypes = [
+            i64p, i64p, i64p, i64p, i64p,
+            ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_int,
+            i32p, i32p, i32p, i32p,
+            ctypes.POINTER(ctypes.c_longlong)]
+    except (OSError, AttributeError):
+        return None
+    _NATIVE_LIB = lib
+    return lib
+
+
+def _route_native(src_r, src_c, dst_stripe, dst_lane, panel_of, npanels,
+                  src_rows, fill_from, relax_lane, max_row, one_layer):
+    """Native greedy solve; returns (m_of, row_of, lane_of, pick) or None
+    (library unavailable / native-only placement failure — the caller
+    falls back to the numpy solver, which raises RouteInfeasible if the
+    job is genuinely infeasible)."""
+    lib = _native_route_lib()
+    if lib is None:
+        return None
+    import ctypes
+    N = src_r.size
+
+    def i64(a):
+        return np.ascontiguousarray(a, dtype=np.int64)
+
+    def p64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    def p32(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    sr = i64(src_r)
+    sc = i64(src_c)
+    st = i64(dst_stripe)
+    dl = i64(dst_lane) if dst_lane is not None else None
+    po = i64(panel_of)
+    m_of = np.empty(N, np.int32)
+    row_of = np.empty(N, np.int32)
+    lane_of = np.empty(N, np.int32)
+    pick = np.empty(N, np.int32)
+    relaxed = ctypes.c_longlong(0)
+    rc = lib.gt_route_solve(
+        p64(sr), p64(sc), p64(st), p64(dl) if dl is not None else None,
+        p64(po), N, npanels, src_rows,
+        -1 if fill_from is None else fill_from,
+        -1 if max_row is None else max_row,
+        int(relax_lane), int(one_layer),
+        p32(m_of), p32(row_of), p32(lane_of), p32(pick),
+        ctypes.byref(relaxed))
+    if rc != 0:
+        return None
+    global RELAXED_SLOTS
+    RELAXED_SLOTS += int(relaxed.value)
+    return (m_of.astype(np.int64), row_of.astype(np.int64),
+            lane_of.astype(np.int64), pick.astype(np.int64))
+
+
+def _emit_plan_arrays(npanels, src_rows, panel_of, src_r, src_c, is_fill,
+                      m_of, row_of, lane_of, pick):
+    """Build the idx1/sel_a/sel_b/idx3 streams from solved positions
+    (shared by the numpy and native solvers)."""
+    N = src_r.size
+    idx1 = np.zeros((npanels, src_rows, LANES), dtype=np.int8)
+    # sel default 0xF8 = band 31: never matched by the kernel's stage-2
+    # loop, so the landing stays at the ⊕-identity.
+    sel_a = np.full((npanels, PROWS, LANES), 0xF8, dtype=np.uint8)
+    sel_b = np.full((npanels, PROWS, LANES), 0xF8, dtype=np.uint8)
+    idx3 = np.zeros((npanels, PROWS, LANES), dtype=np.uint8)
+    nf_all = ~is_fill
+    idx1[panel_of[nf_all], src_r[nf_all], m_of[nf_all]] = \
+        src_c[nf_all].astype(np.int8)
+    selv = ((src_r % STRIPE) | ((src_r // STRIPE) << 3)).astype(np.uint8)
+    ia = (pick == 0) & nf_all
+    sel_a[panel_of[ia], row_of[ia], m_of[ia]] = selv[ia]
+    ib = (pick != 0) & nf_all
+    sel_b[panel_of[ib], row_of[ib], m_of[ib]] = selv[ib]
+    idx3[panel_of, row_of, lane_of] = (m_of | (pick << 7)).astype(np.uint8)
+    # UNROUTED slots (callers may route fewer than npanels*PSLOTS cells)
+    # must read ⊕-identity: point them at a landing-free layer-a cell
+    if N < npanels * PROWS * LANES:
+        routed = np.zeros((npanels, PROWS, LANES), dtype=bool)
+        routed[panel_of, row_of, lane_of] = True
+        a_free = sel_a == 0xF8
+        m0 = np.argmax(a_free, axis=2)                    # first free m
+        has_free = np.take_along_axis(
+            a_free, m0[:, :, None], axis=2)[:, :, 0]
+        need = (~routed).any(axis=2)
+        assert np.all(has_free | ~need), "route: no fill cell in row"
+        idx3 = np.where(routed, idx3,
+                        m0[:, :, None].astype(np.uint8))
+    return RoutePlan(idx1=idx1.reshape(-1, LANES),
+                     sel_a=sel_a.reshape(-1, LANES),
+                     sel_b=sel_b.reshape(-1, LANES),
+                     idx3=idx3.reshape(-1, LANES), src_rows=src_rows)
 
 
 def _route_panels_seq(src_r, src_c, dst_stripe, dst_lane, panel_of,
@@ -285,6 +419,17 @@ def _route_panels_seq(src_r, src_c, dst_stripe, dst_lane, panel_of,
     assert N <= npanels * PSLOTS, (N, npanels)
     free_lane = dst_lane is None
     assert max_row is None or not free_lane, "max_row is fixed-lane only"
+    nat = _route_native(src_r, src_c, dst_stripe, dst_lane, panel_of,
+                        npanels, src_rows, fill_from, relax_lane,
+                        max_row, one_layer)
+    if nat is not None:
+        m_ofn, row_ofn, lane_ofn, pickn = nat
+        is_fill_n = np.zeros(N, dtype=bool) if fill_from is None else \
+            (src_r >= fill_from)
+        plan = _emit_plan_arrays(npanels, src_rows, panel_of, src_r,
+                                 src_c, is_fill_n, m_ofn, row_ofn,
+                                 lane_ofn, pickn)
+        return plan, row_ofn, lane_ofn
     nlayer = 2
     src_at = np.zeros((npanels, src_rows, LANES), dtype=np.int16)   # c+1
     land = np.zeros((nlayer, npanels, PROWS, LANES), dtype=np.int32)
@@ -597,8 +742,10 @@ def _route_panels_seq(src_r, src_c, dst_stripe, dst_lane, panel_of,
                 # final cell of a stripe row with a compatible landing.
                 # The caller uses the returned lane array, so this is
                 # lossless; it turns the solver total for x->x_ext.
+                # RELAXED_SLOTS counts only slots a relax tier actually
+                # PLACED (not tier entries that fell through to the
+                # ultimate tier or raised RouteInfeasible).
                 global RELAXED_SLOTS
-                RELAXED_SLOTS += 1
                 for m in _viable_mf(e):
                     rows = dst_stripe[e] * STRIPE + np.arange(STRIPE)
                     for ly in range(1 if one_layer else 2):
@@ -612,6 +759,7 @@ def _route_panels_seq(src_r, src_c, dst_stripe, dst_lane, panel_of,
                             if fl.size:
                                 _place_f(e, int(m), int(row), ly,
                                          lane=int(fl[0]))
+                                RELAXED_SLOTS += 1
                                 done = True
                                 break
                         if done:
@@ -636,6 +784,7 @@ def _route_panels_seq(src_r, src_c, dst_stripe, dst_lane, panel_of,
                             if fl.size:
                                 _place_f(e, int(m), int(row), ly,
                                          lane=int(fl[0]))
+                                RELAXED_SLOTS += 1
                                 done = True
                                 break
                         if done:
@@ -729,43 +878,8 @@ def _route_panels_seq(src_r, src_c, dst_stripe, dst_lane, panel_of,
     lane_of = lane_fin_arr      # actual lanes in BOTH modes (repair may
     # have relaxed a fixed-lane slot; callers that need the lane read it
     # from here, never from their dst_lane input)
-    idx1 = np.zeros((npanels, src_rows, LANES), dtype=np.int8)
-    # sel default 0xF8 = band 31: never matched by the kernel's stage-2
-    # loop, so the landing stays at the ⊕-identity.  Fill slots simply
-    # point their idx3 at a cell with no layer-a landing — they no
-    # longer consume a source row (the old scheme read a reserved
-    # identity-holding source row, which route_x's x table doesn't have)
-    sel_a = np.full((npanels, PROWS, LANES), 0xF8, dtype=np.uint8)
-    sel_b = np.full((npanels, PROWS, LANES), 0xF8, dtype=np.uint8)
-    idx3 = np.zeros((npanels, PROWS, LANES), dtype=np.uint8)
-    nf_all = ~is_fill
-    idx1[panel_of[nf_all], src_r[nf_all], m_of[nf_all]] = \
-        src_c[nf_all].astype(np.int8)
-    selv = ((src_r % STRIPE) | ((src_r // STRIPE) << 3)).astype(np.uint8)
-    ia = (pick == 0) & nf_all
-    sel_a[panel_of[ia], row_of[ia], m_of[ia]] = selv[ia]
-    ib = (pick != 0) & nf_all
-    sel_b[panel_of[ib], row_of[ib], m_of[ib]] = selv[ib]
-    idx3[panel_of, row_of, lane_of] = (m_of | (pick << 7)).astype(np.uint8)
-    # UNROUTED slots (callers may route fewer than npanels*PSLOTS cells —
-    # the fix2 fold and x_ext holes) must read ⊕-identity, NOT whatever
-    # landed at (row, m=0): point them at a landing-free layer-a cell
-    # (sel 0xF8 there = unmatched band = fill)
-    if N < npanels * PROWS * LANES:
-        routed = np.zeros((npanels, PROWS, LANES), dtype=bool)
-        routed[panel_of, row_of, lane_of] = True
-        a_free = sel_a == 0xF8
-        m0 = np.argmax(a_free, axis=2)                    # first free m
-        has_free = np.take_along_axis(
-            a_free, m0[:, :, None], axis=2)[:, :, 0]
-        need = (~routed).any(axis=2)
-        assert np.all(has_free | ~need), "route: no fill cell in row"
-        idx3 = np.where(routed, idx3,
-                        m0[:, :, None].astype(np.uint8))
-    plan = RoutePlan(idx1=idx1.reshape(-1, LANES),
-                     sel_a=sel_a.reshape(-1, LANES),
-                     sel_b=sel_b.reshape(-1, LANES),
-                     idx3=idx3.reshape(-1, LANES), src_rows=src_rows)
+    plan = _emit_plan_arrays(npanels, src_rows, panel_of, src_r, src_c,
+                             is_fill, m_of, row_of, lane_of, pick)
     return plan, row_of, lane_of
 
 
@@ -877,7 +991,8 @@ class Spmv3Plan:
     pa_bases: np.ndarray   # (pa_panels * pa_nwin,) int32 stripe-block index
     w_stream: Optional[np.ndarray]  # (exp_panels*PROWS, 128) or None
     fix_dst: np.ndarray    # (fix_chunks,) int32 y_mid row per chunk
-    fix2_dst: np.ndarray   # (fix2_chunks,) int32 compact-y row per chunk
+    fix2_dst: np.ndarray   # (fix2_chunks,) int32 DENSE y row per chunk
+                           # (absolute; the engine re-bases per segment)
     hub_mask: np.ndarray   # (y_mid rows,) uint8 — 0: plain row; W in
                            # {32,64,128}: lane-⊕-fold the row at width W
                            # before the level-2 gather (packed hub runs)
@@ -892,13 +1007,12 @@ class Spmv3Plan:
     xr_route: RoutePlan
     xr_bases: np.ndarray   # (exp_panels * NWIN_X,) int32 x-table blocks
     sx_rows: int           # padded x table rows (x2d source)
-    # fix2 route_fold (y_mid cells -> compact y rows)
+    # fix2 route_fold (y_mid cells -> DENSE y rows, segment-resident)
     f2_route: RoutePlan
     f2_bases: np.ndarray   # (f2_panels * f2_nwin,) int32 y_mid blocks
     f2_nwin: int
     f2_panels: int
-    # v2 gather plan (windowed_gather) for the final expansion
-    mexp: "object"         # y_compact -> dense
+    f2_seg: np.ndarray     # (f2_panels,) int32 fold segment per panel
     dense_rows: int
 
     @property
@@ -1342,8 +1456,6 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
             np.zeros(0, np.int64), np.zeros(0, np.int64),
             np.zeros(0, np.int64), 1, 2 * STRIPE)
         dense_rows0 = -(-(-(-dense_len // LANES)) // STRIPE) * STRIPE
-        mexp0 = build_gather_plan(
-            nblocks, dense_rows0, np.full(dense_rows0 * LANES, -1, np.int64))
         return Spmv3Plan(
             NC=NC, NR=NR, nblocks=nblocks, n_edges=0,
             xext_rows=xext_rows, exp_panels=exp_panels,
@@ -1358,8 +1470,7 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
             xr_route=xr_route, xr_bases=xr_bases.reshape(-1),
             sx_rows=sxrows,
             f2_route=f2r0, f2_bases=np.zeros(2, np.int32), f2_nwin=2,
-            f2_panels=1,
-            mexp=mexp0,
+            f2_panels=1, f2_seg=np.zeros(1, np.int32),
             dense_rows=dense_rows0)
     e_parow = _parows                      # actual routed rows (from pass A)
     s1_pos = e_pan * PSLOTS + e_parow * LANES + pa_lane
@@ -1695,6 +1806,26 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
     l2 = np.concatenate([occ_lane[sm], run_hbase[hubs_r]])
     b2 = np.concatenate([b2_all[sm], run_blk[ro2][hubs_r]])
     lr2 = np.concatenate([lr2_all[sm], run_lr[ro2][hubs_r]])
+    # dense-direct fold (round 5): map each cell's compact (block, lr)
+    # destination through the TCSC renumbering's inverse so fix2 lands
+    # straight in the DENSE y layout — the mexp expansion gather (2.7
+    # ms/iter at RMAT-20, reference analog: the IV[] indirection of
+    # apply_stationary, vertex_program.hpp:1655-1670) disappears; dense
+    # rows with no nnz source simply keep the fold identity.
+    dense_rows = -(-(-(-dense_len // LANES)) // STRIPE) * STRIPE
+    if iv_dense is not None:
+        iv_ = np.asarray(iv_dense, np.int64)
+        inv_iv = np.full(nblocks * LANES, -1, dtype=np.int64)
+        vpos = np.flatnonzero(iv_ >= 0)
+        inv_iv[iv_[vpos]] = vpos
+    else:
+        inv_iv = np.arange(nblocks * LANES, dtype=np.int64)
+    if b2.size:
+        dpos = inv_iv[b2 * np.int64(LANES) + lr2]
+        assert (dpos >= 0).all(), "fix2 cell maps to no dense position"
+        assert dpos.max() < dense_rows * LANES
+        b2 = dpos // LANES
+        lr2 = dpos % LANES
     o7 = np.lexsort((l2, r2, lr2, b2))
     key7 = (b2[o7] * np.int64(LANES) + lr2[o7])
     k7chg = np.concatenate([[True], key7[1:] != key7[:-1]])
@@ -1772,6 +1903,15 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
         fix2_dst = np.concatenate(
             [fix2_dst, fix2_dst[(uq2 // 64).astype(np.int64)]])
     nch7 = fix2_dst.size
+    # renumber chunks by destination row so the panel packing below is
+    # fold-SEGMENT-sorted even after window-split chunks were appended
+    # out of block order (the dense y table can span several
+    # FOLD_SEG_ROWS segments)
+    perm9 = np.lexsort((np.arange(nch7), fix2_dst))
+    rank9 = np.empty(nch7, dtype=np.int64)
+    rank9[perm9] = np.arange(nch7)
+    chunk7 = rank9[chunk7]
+    fix2_dst = fix2_dst[perm9]
     # per-chunk window sets, in chunk order
     och = np.argsort(chunk7, kind="stable")
     ch_s = chunk7[och]
@@ -1781,25 +1921,37 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
     en9 = np.concatenate([st9[1:], [ch_s.size]])
     pan_of_chunk = np.zeros(nch7, dtype=np.int64)
     stripe_of_chunk = np.zeros(nch7, dtype=np.int64)
+    seg_of_chunk7 = fix2_dst.astype(np.int64) // FOLD_SEG_ROWS
     pan_wins: List[np.ndarray] = []
+    pan_seg_l2: List[int] = []
     cur: set = set()
     cur_n = 0
+    cur_seg = 0
     pnl = 0
     ci = 0
     for s9, e9 in zip(st9.tolist(), en9.tolist()):
         cw = set(np.unique(wb_s[s9:e9]).tolist())
-        if cur_n == STRIPE or len(cur | cw) > F2_WCAP:
+        ch = int(ch_s[s9])
+        cseg = int(seg_of_chunk7[ch])
+        if cur_n == STRIPE or len(cur | cw) > F2_WCAP or \
+                (cur_n > 0 and cseg != cur_seg):
             pan_wins.append(np.asarray(sorted(cur), np.int64))
+            pan_seg_l2.append(cur_seg)
             pnl += 1
             cur, cur_n = set(), 0
         cur |= cw
-        ch = int(ch_s[s9])
+        cur_seg = cseg
         pan_of_chunk[ch] = pnl
         stripe_of_chunk[ch] = cur_n
         cur_n += 1
         ci += 1
     pan_wins.append(np.asarray(sorted(cur), np.int64))
+    pan_seg_l2.append(cur_seg)
     f2_panels = max(1, pnl + 1)
+    f2_seg = np.asarray(pan_seg_l2[:f2_panels], dtype=np.int32)
+    if f2_seg.size < f2_panels:
+        f2_seg = np.zeros(f2_panels, dtype=np.int32)
+    assert (np.diff(f2_seg) >= 0).all(), "f2 panels not segment-sorted"
     f2_nwin = max(2, max((w.size for w in pan_wins), default=1))
     assert f2_nwin <= 31, ("fix2 route window overflow", f2_nwin)
     f2_bases = np.zeros((f2_panels, f2_nwin), dtype=np.int32)
@@ -1824,20 +1976,11 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
         stripe_of_chunk[chunk7], lr2[o7], f2_pof, f2_panels,
         f2_nwin * STRIPE)
     # (panel, stripe)-indexed chunk destinations; empty stripes fold fill
-    fix2_dst_ps = np.zeros(f2_panels * STRIPE, dtype=np.int32)
+    # into their panel's own segment base row (a fill fold is a ⊕-no-op)
+    fix2_dst_ps = np.repeat(f2_seg.astype(np.int32) * FOLD_SEG_ROWS,
+                            STRIPE)
     fix2_dst_ps[pan_of_chunk * STRIPE + stripe_of_chunk] = fix2_dst
     fix2_dst = fix2_dst_ps
-
-    # ---- mexp: compact y -> dense rows (v2 gather)
-    dense_rows = -(-(-(-dense_len // LANES)) // STRIPE) * STRIPE
-    if iv_dense is not None:
-        iv = np.asarray(iv_dense, np.int64)
-        src_mx = np.full(dense_rows * LANES, -1, dtype=np.int64)
-        src_mx[:iv.size] = np.where(iv >= 0, iv, -1)
-    else:
-        src_mx = np.arange(dense_rows * LANES, dtype=np.int64)
-        src_mx[min(NR, dense_len):] = -1
-    mexp_plan = build_gather_plan(nblocks, dense_rows, src_mx)
 
     return Spmv3Plan(
         NC=NC, NR=NR, nblocks=nblocks, n_edges=E,
@@ -1849,14 +1992,14 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
         fix_panels=fix_panels, fixr_seg=fixr_seg,
         xr_route=xr_route, xr_bases=xr_bases.reshape(-1), sx_rows=sxrows,
         f2_route=f2_route64, f2_bases=f2_bases.reshape(-1),
-        f2_nwin=f2_nwin, f2_panels=f2_panels,
-        mexp=mexp_plan, dense_rows=dense_rows)
+        f2_nwin=f2_nwin, f2_panels=f2_panels, f2_seg=f2_seg,
+        dense_rows=dense_rows)
 
 
 def simulate_spmv3(plan: Spmv3Plan, x: np.ndarray, fill, reduce_kind="sum",
                    mul_kind="none") -> np.ndarray:
-    """Numpy oracle of the whole v3 pipeline: x (NC,) -> y_compact
-    (nblocks*128,). Mirrors the kernel sequence exactly."""
+    """Numpy oracle of the whole v3 pipeline: x (NC,) -> y_dense
+    (dense_rows*128,). Mirrors the kernel sequence exactly."""
     from graphtap_tpu.kernels.gather_plan import simulate_gather
     red = {"sum": np.add, "min": np.minimum, "max": np.maximum}[reduce_kind]
     sx = plan.sx_rows
@@ -1941,5 +2084,5 @@ def simulate_spmv3(plan: Spmv3Plan, x: np.ndarray, fill, reduce_kind="sum",
     routed2 = simulate_route(plan.f2_route, vf2, plan.f2_panels, fill)
     dstv = np.zeros(plan.f2_panels * STRIPE, np.int64)
     dstv[:plan.fix2_dst.size] = plan.fix2_dst
-    y = chunked_fold_arr(routed2, dstv, plan.nblocks)
+    y = chunked_fold_arr(routed2, dstv, plan.dense_rows)
     return y.reshape(-1)

@@ -52,6 +52,16 @@ def _load():
             ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
             ctypes.c_longlong, ctypes.POINTER(ctypes.c_longlong),
             ctypes.POINTER(ctypes.c_longlong)]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.gt_route_solve.restype = ctypes.c_longlong
+        lib.gt_route_solve.argtypes = [
+            i64p, i64p, i64p, i64p, i64p,
+            ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_int,
+            i32p, i32p, i32p, i32p,
+            ctypes.POINTER(ctypes.c_longlong)]
         _lib = lib
     except OSError:
         _lib = None

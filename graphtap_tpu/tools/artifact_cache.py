@@ -105,15 +105,14 @@ def load_spmv2_meta(path: str):
 
 
 # -------------------------------------------------------------- Spmv3Meta
-_S3_SCALARS = ("NC", "nblocks", "dense_rows", "exp_panels", "pa_panels",
-               "pa_nwin", "fix_panels", "fixr_nwin", "fix2_chunks",
-               "f2_panels", "f2_nwin", "nrb",
-               "xext_rows", "xr_nwin", "sx_rows",
-               "has_w", "nsub", "out_rows", "src_rows")
+_S3_SCALARS = ("NC", "nblocks", "dense_rows", "f2_rows", "exp_panels",
+               "pa_panels", "pa_nwin", "fix_panels", "fixr_nwin",
+               "fix2_chunks", "f2_panels", "f2_nwin", "nrb",
+               "xext_rows", "xr_nwin", "sx_rows", "has_w")
 # bump when Spmv3Meta's field set or the plan layout changes: stale
 # cached plans are REBUILT (None from load) instead of crashing the
 # warm-cache path with a TypeError
-_S3_VERSION = 8
+_S3_VERSION = 9     # 9: packed per-route plan streams + 2D hub_mask
 
 
 def save_spmv3_meta(m, path: str) -> None:

@@ -116,7 +116,13 @@ def test_panel_kernels_match_simulator(kind):
     from graphtap_tpu.kernels.panel_kernels import (route_expand,
                                                     route_passa,
                                                     fold_stripes,
-                                                    colsum_chunks)
+                                                    colsum_chunks,
+                                                    pack_route_plan)
+
+    def pack(rt, npanels, out_rows=64, two_layer=True):
+        return jnp.asarray(pack_route_plan(
+            rt.idx1, rt.sel_a, rt.sel_b, rt.idx3, npanels, rt.src_rows,
+            out_rows=out_rows, two_layer=two_layer))
     from graphtap_tpu.kernels.gather_plan import simulate_gather
     rng = np.random.default_rng(7)
     NR, NC, E = 1024, 2048, 30000
@@ -142,36 +148,39 @@ def test_panel_kernels_match_simulator(kind):
     x2d = np.full((sx, LANES), fill, dtype)
     x2d.reshape(-1)[:NC] = x
     x_ext = route_passa(jnp.asarray(x2d), jnp.asarray(plan.xr_bases),
-                        jnp.asarray(plan.xr_route.idx1),
-                        jnp.asarray(plan.xr_route.sel_a),
-                        jnp.asarray(plan.xr_route.sel_b),
-                        jnp.asarray(plan.xr_route.idx3),
+                        pack(plan.xr_route, plan.exp_panels,
+                             out_rows=XROWS, two_layer=False),
                         fill, plan.exp_panels, NWIN_X, interpret=True,
                         out_rows=XROWS, two_layer=False)
     w_stream = (jnp.asarray(plan.w_stream) if plan.w_stream is not None
                 else None)
-    s0 = route_expand(jnp.asarray(x_ext), jnp.asarray(plan.exp_route.idx1),
-                      jnp.asarray(plan.exp_route.sel_a),
-                      jnp.asarray(plan.exp_route.sel_b),
-                      jnp.asarray(plan.exp_route.idx3),
+    s0 = route_expand(jnp.asarray(x_ext),
+                      pack(plan.exp_route, plan.exp_panels),
                       w_stream, fill, plan.exp_panels, mul_kind=mk,
                       interpret=True)
+    # the fused xr+exp kernel must produce the identical s0 stream
+    from graphtap_tpu.kernels.panel_kernels import route_xr_exp
+    xe_plan = np.concatenate(
+        [np.asarray(pack(plan.xr_route, plan.exp_panels, out_rows=XROWS,
+                         two_layer=False)).reshape(plan.exp_panels, -1,
+                                                   LANES),
+         np.asarray(pack(plan.exp_route, plan.exp_panels)).reshape(
+             plan.exp_panels, -1, LANES)], axis=1).reshape(-1, LANES)
+    s0_fused = route_xr_exp(jnp.asarray(x2d), jnp.asarray(plan.xr_bases),
+                            jnp.asarray(xe_plan), w_stream, fill,
+                            plan.exp_panels, NWIN_X, mul_kind=mk,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(s0_fused), np.asarray(s0))
     s0p = jnp.concatenate(
         [s0, jnp.full((STRIPE, LANES), fill, s0.dtype)], axis=0)
     s1 = route_passa(s0p, jnp.asarray(plan.pa_bases),
-                     jnp.asarray(plan.pa_route.idx1),
-                     jnp.asarray(plan.pa_route.sel_a),
-                     jnp.asarray(plan.pa_route.sel_b),
-                     jnp.asarray(plan.pa_route.idx3),
+                     pack(plan.pa_route, plan.pa_panels),
                      fill, plan.pa_panels, plan.pa_nwin, interpret=True)
     nrb = int(plan.fix_dst.max()) + 1 if plan.fix_dst.size else 1
     s1f = jnp.concatenate(
         [s1, jnp.full((STRIPE, LANES), fill, s1.dtype)], axis=0)
     stack1 = route_passa(s1f, jnp.asarray(plan.fixr_bases),
-                         jnp.asarray(plan.fixr_route.idx1),
-                         jnp.asarray(plan.fixr_route.sel_a),
-                         jnp.asarray(plan.fixr_route.sel_b),
-                         jnp.asarray(plan.fixr_route.idx3),
+                         pack(plan.fixr_route, plan.fix_panels),
                          fill, plan.fix_panels, plan.fixr_nwin,
                          interpret=True)
     y_mid = colsum_chunks(jnp.asarray(stack1), jnp.asarray(plan.fix_dst),
@@ -194,11 +203,8 @@ def test_panel_kernels_match_simulator(kind):
     dstv = np.zeros(plan.f2_panels * STRIPE, np.int32)
     dstv[:plan.fix2_dst.size] = plan.fix2_dst
     y = route_fold(jnp.asarray(ym8), jnp.asarray(plan.f2_bases),
-                   jnp.asarray(plan.f2_route.idx1),
-                   jnp.asarray(plan.f2_route.sel_a),
-                   jnp.asarray(plan.f2_route.sel_b),
-                   jnp.asarray(plan.f2_route.idx3),
-                   jnp.asarray(dstv), plan.nblocks, kind, fill,
+                   pack(plan.f2_route, plan.f2_panels),
+                   jnp.asarray(dstv), plan.dense_rows, kind, fill,
                    plan.f2_panels, plan.f2_nwin, interpret=True)
     np.testing.assert_allclose(np.asarray(y).reshape(-1), y_ref,
                                rtol=1e-5)
