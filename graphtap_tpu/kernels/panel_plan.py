@@ -48,6 +48,8 @@ import numpy as np
 # construction against the per-edge position maps (host-side simulate;
 # ~2x plan time) — pinpoints the first stage whose plan loses an edge
 _PLAN_DEBUG = bool(os.environ.get("GRAPHTAP_PLAN_DEBUG"))
+# GRAPHTAP_PLAN_PROFILE=1: print per-phase plan-build wall times
+_PLAN_PROFILE = bool(os.environ.get("GRAPHTAP_PLAN_PROFILE"))
 
 LANES = 128
 PROWS = 64                 # panel rows
@@ -419,9 +421,28 @@ def _route_panels_seq(src_r, src_c, dst_stripe, dst_lane, panel_of,
     assert N <= npanels * PSLOTS, (N, npanels)
     free_lane = dst_lane is None
     assert max_row is None or not free_lane, "max_row is fixed-lane only"
+    import time as _time
+    _t0 = _time.perf_counter()
     nat = _route_native(src_r, src_c, dst_stripe, dst_lane, panel_of,
                         npanels, src_rows, fill_from, relax_lane,
                         max_row, one_layer)
+    if _PLAN_PROFILE:
+        import sys as _sys
+        print(f"[plan] route N={src_r.size} panels={npanels} "
+              f"native={'ok' if nat is not None else 'FALLBACK'} "
+              f"{_time.perf_counter()-_t0:.1f}s", file=_sys.stderr,
+              flush=True)
+    if nat is None and os.environ.get("GRAPHTAP_ROUTE_DUMP"):
+        np.savez(os.environ["GRAPHTAP_ROUTE_DUMP"] + f"_{src_r.size}.npz",
+                 src_r=src_r, src_c=src_c, dst_stripe=dst_stripe,
+                 dst_lane=dst_lane if dst_lane is not None else
+                 np.zeros(0, np.int64),
+                 has_lane=np.asarray([dst_lane is not None]),
+                 panel_of=panel_of,
+                 meta=np.asarray([npanels, src_rows,
+                                  -1 if fill_from is None else fill_from,
+                                  -1 if max_row is None else max_row,
+                                  int(relax_lane), int(one_layer)]))
     if nat is not None:
         m_ofn, row_ofn, lane_ofn, pickn = nat
         is_fill_n = np.zeros(N, dtype=bool) if fill_from is None else \
@@ -1042,6 +1063,9 @@ def build_spmv3_plan(rows: np.ndarray, cols: np.ndarray,
                 value_dtype=value_dtype, pa_slack=pa_slack,
                 quota=quota, dcap=dcap)
         except RouteInfeasible as e:     # pragma: no cover - rare ladder
+            import sys as _sys
+            print(f"[plan] quota rung {quota} infeasible ({e}); "
+                  f"dropping a rung", file=_sys.stderr, flush=True)
             last = e
     raise last
 
@@ -1059,6 +1083,17 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
     cols = np.asarray(cols, np.int64)
     E = int(rows.size)
     nblocks = -(-max(1, -(-NR // LANES)) // STRIPE) * STRIPE
+
+    import time as _time
+    import sys as _sys
+    _tp = [_time.perf_counter()]
+
+    def _mark(nm):
+        if _PLAN_PROFILE:
+            t = _time.perf_counter()
+            print(f"[plan] {nm}: {t - _tp[0]:.1f}s", file=_sys.stderr,
+                  flush=True)
+            _tp[0] = t
 
     blk = rows // LANES
     # adaptive supers: contiguous block ranges holding >= SUPER_EDGES
@@ -1177,6 +1212,7 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
         p += 1
         i += m
     exp_panels = max(1, p)
+    _mark("packing")
 
     # ---- x -> x_ext ROUTE: each panel's <= NWIN_X source x windows are
     # corner-turn operands (prefetched bases into the x table); the
@@ -1235,6 +1271,7 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
         idx3=xr_route64.idx3.reshape(
             exp_panels, PROWS, LANES)[:, :XROWS].reshape(-1, LANES),
         src_rows=NWIN_X * STRIPE)
+    _mark("xr route")
     # actual x_ext position of each edge (solver-chosen row AND lane)
     xe_pos = (panel_of * XROWS * LANES + xr_rows_all[slot_gid] * LANES
               + xr_lanes_all[slot_gid])
@@ -1278,6 +1315,7 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
     del all_sr, all_sc, all_st, all_p, ph_row, ph_lane, ph_stripe, ph_p
     del exp_rows_all, exp_lanes_all, xe_pos, xr_rows_all, xr_lanes_all
     del k_in_p, slot_gid
+    _mark("expand route")
     pos_in_stripe = (e_erow % STRIPE) * LANES + e_elane
     if _PLAN_DEBUG and E:
         _s0 = simulate_route(exp_route, _xext, exp_panels, 0.0)
@@ -1430,6 +1468,7 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
     pa_route, _parows_all, _palanes = _route_panels(
         a_sr, a_sc, a_st, a_dl, a_p, pa_panels, NWIN * STRIPE,
         fill_from=(NWIN - 1) * STRIPE)
+    _mark("pass A")
     _parows = _parows_all[:E].copy()
     del a_sr, a_sc, a_st, a_dl, a_p, _parows_all, _palanes
     del pa_src_row, pa_src_lane, ph_src2, ph_lane2, ph_d1, ph_p2
@@ -1744,12 +1783,17 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
     # (c) per-slot route coordinates
     e_fp = pan_of_chunk[ch_e]
     e_fst = stripe_of_chunk[ch_e]
-    # window index within the panel's base list
-    e_widx = np.zeros(E, dtype=np.int64)
-    for p_ in range(fix_panels):
-        m_ = e_fp == p_
-        if m_.any():
-            e_widx[m_] = np.searchsorted(pan_wins[p_], e_sblk[m_])
+    # window index within the panel's base list — one flat keyed
+    # searchsorted (the per-panel masked loop was O(panels * E): 150 s
+    # of the 190 s fixr phase at RMAT-20)
+    pw_len = np.asarray([w.size for w in pan_wins], dtype=np.int64)
+    pw0 = np.concatenate([[0], np.cumsum(pw_len)])
+    pw_flat = (np.concatenate(pan_wins) if pw0[-1] else
+               np.zeros(0, np.int64))
+    WBIG = np.int64(1) << 24
+    pw_keys = np.repeat(np.arange(fix_panels, dtype=np.int64),
+                        pw_len) * WBIG + pw_flat
+    e_widx = np.searchsorted(pw_keys, e_fp * WBIG + e_sblk) - pw0[e_fp]
     f_sr = e_widx * STRIPE + (s1_pos[o6] // LANES) % STRIPE
     f_sc = s1_pos[o6] % LANES
     # phantoms fill the remaining (panel, stripe, lane) capacity
@@ -1790,6 +1834,7 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
             f"PLAN_DEBUG fixr: {int(_badm.sum())} y_mid cells wrong "
             f"(first {np.argwhere(_badm)[:5].tolist()})")
 
+    _mark("fixr")
     # second level: y_mid (nrb,128) lane-column cells -> (block, lr);
     # the (block, lr) identity is per cell (a y_mid row mixes blocks).
     # Hub rows enter as ONE cell at the destination lane — the engine's
@@ -1982,6 +2027,7 @@ def _build_spmv3_plan_once(rows: np.ndarray, cols: np.ndarray,
     fix2_dst_ps[pan_of_chunk * STRIPE + stripe_of_chunk] = fix2_dst
     fix2_dst = fix2_dst_ps
 
+    _mark("fix2")
     return Spmv3Plan(
         NC=NC, NR=NR, nblocks=nblocks, n_edges=E,
         xext_rows=xext_rows, exp_panels=exp_panels, pa_panels=pa_panels,

@@ -38,6 +38,26 @@ struct Solver {
     std::vector<int64_t> final_who;   // (npanels, PROWS, LANES)
     std::vector<int32_t> rc, c1;
     std::vector<uint8_t> is_fill;
+    // write-round versions: during round k an entry written in round k
+    // still counts as FREE for proposal selection (the numpy solver
+    // proposes against round-start state), while acceptance checks the
+    // LIVE value with the share rules — this reproduces the vectorized
+    // solver's round semantics exactly.
+    std::vector<int16_t> sa_ver, land_ver, fu_ver;
+    int16_t round_ = -1;
+
+    inline int16_t SA_old(int64_t p, int64_t r, int64_t m) {
+        int64_t i = (p * src_rows + r) * LANES + m;
+        return sa_ver[i] == round_ ? (int16_t)0 : src_at[i];
+    }
+    inline int32_t LD_old(int ly, int64_t p, int64_t row, int64_t m) {
+        int64_t i = ((ly * npanels + p) * PROWS + row) * LANES + m;
+        return land_ver[i] == round_ ? 0 : land[i];
+    }
+    inline uint8_t FU_old(int64_t p, int64_t row, int64_t l) {
+        int64_t i = (p * PROWS + row) * LANES + l;
+        return fu_ver[i] == round_ ? (uint8_t)0 : final_used[i];
+    }
 
     int32_t *m_of, *row_of, *lane_of, *pick;
     int64_t relaxed = 0;
@@ -60,6 +80,9 @@ struct Solver {
         land.assign(2 * npanels * PROWS * LANES, 0);
         final_used.assign(npanels * PROWS * LANES, 0);
         final_who.assign(npanels * PROWS * LANES, -1);
+        sa_ver.assign(npanels * src_rows * LANES, -1);
+        land_ver.assign(2 * npanels * PROWS * LANES, -1);
+        fu_ver.assign(npanels * PROWS * LANES, -1);
         rc.resize(N); c1.resize(N); is_fill.resize(N);
         for (int64_t e = 0; e < N; e++) {
             is_fill[e] = (fill_from >= 0 && src_r[e] >= fill_from);
@@ -74,8 +97,11 @@ struct Solver {
         int64_t p = panel_of[e];
         m_of[e] = m; row_of[e] = row; lane_of[e] = lane; pick[e] = ly;
         SA(p, src_r[e], m) = (int16_t)c1[e];
+        sa_ver[(p * src_rows + src_r[e]) * LANES + m] = round_;
         LD(ly, p, row, m) = rc[e];
+        land_ver[((ly * npanels + p) * PROWS + row) * LANES + m] = round_;
         FU(p, row, lane) = 1;
+        fu_ver[(p * PROWS + row) * LANES + lane] = round_;
         FW(p, row, lane) = e;
     }
 
@@ -114,6 +140,10 @@ struct Solver {
         for (int64_t e = 0; e < N; e++)
             if (!is_fill[e]) pend.push_back(e);
         for (int k = 0; k < 4 * LANES && !pend.empty(); k++) {
+            round_++;
+            // gm updates within a round must not alter later proposals
+            // (numpy updates gm only after the round's vectorized take)
+            std::vector<std::pair<int64_t, int32_t>> gm_upd;
             next.clear();
             for (int64_t e : pend) {
                 int64_t p = panel_of[e];
@@ -121,7 +151,8 @@ struct Solver {
                 int fresh = (int)((src_c[e] * 37 + 53 * (k / 2)
                                    + g * 17) % LANES);
                 int m = (k % 2 == 0 && gm[g] >= 0) ? gm[g] : fresh;
-                int16_t sa = SA(p, src_r[e], m);
+                // proposal against ROUND-START state
+                int16_t sa = SA_old(p, src_r[e], m);
                 bool ok_src = (sa == 0 || sa == (int16_t)c1[e]);
                 int roff = (int)((e + k) % STRIPE);
                 int row_fin = -1, lay = 0;
@@ -129,8 +160,8 @@ struct Solver {
                     for (int t = 0; t < STRIPE; t++) {
                         int row = (int)(dst_stripe[e] * STRIPE
                                         + (t + roff) % STRIPE);
-                        int32_t la = LD(0, p, row, m);
-                        int32_t lb = LD(1, p, row, m);
+                        int32_t la = LD_old(0, p, row, m);
+                        int32_t lb = LD_old(1, p, row, m);
                         bool oa = (la == 0 || la == rc[e]);
                         bool ob = (lb == 0 || lb == rc[e]);
                         if (oa || ob) {
@@ -140,14 +171,22 @@ struct Solver {
                 }
                 if (row_fin >= 0) {
                     int lane_try = (int)((m + 29 * (e % 31) + k) % LANES);
-                    if (!FU(p, row_fin, lane_try)) {
+                    // acceptance against LIVE state (the share rules):
+                    // same-round writes must agree or the slot defers
+                    int16_t sl = SA(p, src_r[e], m);
+                    int32_t ll = LD(lay, p, row_fin, m);
+                    if (!FU_old(p, row_fin, lane_try)
+                        && (sl == 0 || sl == (int16_t)c1[e])
+                        && (ll == 0 || ll == rc[e])
+                        && !FU(p, row_fin, lane_try)) {
                         place(e, m, row_fin, lane_try, lay);
-                        gm[g] = m;
+                        gm_upd.emplace_back(g, m);
                         continue;
                     }
                 }
                 next.push_back(e);
             }
+            for (auto& u : gm_upd) gm[u.first] = u.second;
             pend.swap(next);
         }
         // tail repair
@@ -242,11 +281,13 @@ struct Solver {
         for (int64_t e = 0; e < N; e++)
             if (!is_fill[e]) pend.push_back(e);
         for (int k = 0; k < 2 * LANES && !pend.empty(); k++) {
+            round_++;
             next.clear();
             for (int64_t e : pend) {
                 int64_t p = panel_of[e];
                 int m = (int)((src_c[e] + STRIPE * k + k) % LANES);
-                int16_t sa = SA(p, src_r[e], m);
+                // proposal against ROUND-START state
+                int16_t sa = SA_old(p, src_r[e], m);
                 bool ok_src = (sa == 0 || sa == (int16_t)c1[e]);
                 int roff = (int)((e + k) % STRIPE);
                 int row_fin = -1, lay = 0;
@@ -255,12 +296,12 @@ struct Solver {
                         int row = (int)(dst_stripe[e] * STRIPE
                                         + (t + roff) % STRIPE);
                         if (max_row >= 0 && row >= max_row) continue;
-                        if (FU(p, row, dst_lane[e])) continue;
-                        int32_t la = LD(0, p, row, m);
+                        if (FU_old(p, row, dst_lane[e])) continue;
+                        int32_t la = LD_old(0, p, row, m);
                         bool oa = (la == 0 || la == rc[e]);
                         bool ob = false;
                         if (!one_layer) {
-                            int32_t lb = LD(1, p, row, m);
+                            int32_t lb = LD_old(1, p, row, m);
                             ob = (lb == 0 || lb == rc[e]);
                         }
                         if (oa || ob) {
@@ -269,8 +310,15 @@ struct Solver {
                     }
                 }
                 if (row_fin >= 0) {
-                    place(e, m, row_fin, dst_lane[e], lay);
-                    continue;
+                    // acceptance against LIVE state (share rules)
+                    int16_t sl = SA(p, src_r[e], m);
+                    int32_t ll = LD(lay, p, row_fin, m);
+                    if ((sl == 0 || sl == (int16_t)c1[e])
+                        && (ll == 0 || ll == rc[e])
+                        && !FU(p, row_fin, dst_lane[e])) {
+                        place(e, m, row_fin, dst_lane[e], lay);
+                        continue;
+                    }
                 }
                 next.push_back(e);
             }
@@ -414,6 +462,7 @@ struct Solver {
         for (int64_t e = 0; e < N; e++)
             if (is_fill[e]) pend.push_back(e);
         for (int k = 0; k < 4 * LANES && !pend.empty(); k++) {
+            round_++;
             next.clear();
             for (int64_t e : pend) {
                 int64_t p = panel_of[e];
@@ -423,19 +472,27 @@ struct Solver {
                 for (int t = 0; t < STRIPE; t++) {
                     int row = (int)(dst_stripe[e] * STRIPE
                                     + (t + roff) % STRIPE);
-                    if (FU(p, row, dst_lane[e])) continue;
-                    int32_t la = LD(0, p, row, m);
-                    int32_t lb = LD(1, p, row, m);
+                    if (FU_old(p, row, dst_lane[e])) continue;
+                    int32_t la = LD_old(0, p, row, m);
+                    int32_t lb = LD_old(1, p, row, m);
                     bool oa = (la == 0 || la == -1);
                     bool ob = (lb == 0 || lb == -1);
                     if (oa || ob) { row_fin = row; lay = oa ? 0 : 1; break; }
                 }
                 if (row_fin >= 0) {
-                    m_of[e] = m; row_of[e] = row_fin;
-                    lane_of[e] = dst_lane[e]; pick[e] = lay;
-                    LD(lay, p, row_fin, m) = -1;
-                    FU(p, row_fin, dst_lane[e]) = 1;
-                    continue;
+                    int32_t ll = LD(lay, p, row_fin, m);
+                    if ((ll == 0 || ll == -1)
+                        && !FU(p, row_fin, dst_lane[e])) {
+                        m_of[e] = m; row_of[e] = row_fin;
+                        lane_of[e] = dst_lane[e]; pick[e] = lay;
+                        LD(lay, p, row_fin, m) = -1;
+                        land_ver[((lay * npanels + p) * PROWS + row_fin)
+                                 * LANES + m] = round_;
+                        FU(p, row_fin, dst_lane[e]) = 1;
+                        fu_ver[(p * PROWS + row_fin) * LANES
+                               + dst_lane[e]] = round_;
+                        continue;
+                    }
                 }
                 next.push_back(e);
             }
