@@ -181,6 +181,100 @@ def pagerank_large(fh):
                    "vs_cpu_baseline": rec["vs_baseline"]}})
 
 
+def comm_model_row(fh):
+    """Validate the multi-chip comm model on the virtual 8-device mesh
+    (replaces the oversubscribed cpu_mesh_scaling timing, which measured
+    2-core timesharing, not scaling):
+
+      (a) per-superstep collective bytes, read from the COMPILED
+          multi-device program's HLO, vs the layout.py formula
+          (R-1)*L words x-gather + (C-1)*L words y-reduce per device;
+      (b) wall-clock invariance across mesh SHAPES (1x8 / 2x4 / 8x1)
+          at fixed total work — same 8 virtual devices timesharing the
+          same host, so any spread beyond noise is layout-induced
+          overhead (the quantity the >=70% scaling north star needs
+          bounded), not oversubscription.
+    """
+    import subprocess
+    rows = []
+    for R, C in ((1, 8), (2, 4), (8, 1)):
+        code = f"""
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import time, json, re, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+from graphtap_tpu import Graph, GraphConfig, Compression
+from graphtap_tpu.apps.degree import DegreeProgram
+from graphtap_tpu.apps.pagerank import PageRankProgram
+from graphtap_tpu.config import EngineConfig, Ordering
+from graphtap_tpu.engine.executor import Executor
+from graphtap_tpu.parallel.layout import make_mesh
+from graphtap_tpu.tools.artifact_cache import cached_rmat
+src, dst, _ = cached_rmat(17, 16, 1, {CACHE!r})
+mesh = make_mesh(jax.devices()[:8], shape=({R}, {C}))
+cfg = GraphConfig(num_vertices=1 << 17, directed=True, transpose=True,
+                  compression=Compression.TCSC)
+g = Graph.from_edges(src, dst, None, cfg, mesh=mesh)
+deg = Executor(g, DegreeProgram(value_dtype=jnp.float32),
+               EngineConfig(stationary=True, ordering=Ordering.COL),
+               kernel="scan")
+deg.initialize(); deg.execute(1)
+pr = Executor(g, PageRankProgram(value_dtype=jnp.float32),
+              EngineConfig(stationary=True, ordering=Ordering.ROW),
+              kernel="scan")
+pr.initialize(other=deg)
+# collective bytes from the compiled superstep program (one loop body)
+lowered = pr._run_fixed.lower(pr.state, pr.changed, pr._tile_pytree, 5)
+txt = lowered.compile().as_text()
+coll = dict(all_gather=0, reduce_scatter=0, all_reduce=0, all_to_all=0,
+            collective_permute=0)
+DT = dict(f32=4, s32=4, u32=4, f64=8, s64=8, u64=8, pred=1, s8=1, u8=1,
+          bf16=2, f16=2, s16=2, u16=2)
+for m_ in re.finditer(
+        r"= *([a-z0-9]+)\\[([0-9,]*)\\][^ ]* +(all-gather|"
+        r"reduce-scatter|all-reduce|all-to-all|collective-permute)", txt):
+    dt, shape, op = m_.group(1), m_.group(2), m_.group(3)
+    n = 1
+    for d_ in shape.split(","):
+        if d_:
+            n *= int(d_)
+    coll[op.replace("-", "_")] += n * DT.get(dt, 4)
+pr.execute(5)                      # compile+settle
+pr.initialize(other=deg)
+t0 = time.perf_counter(); pr.execute(5)
+dt = time.perf_counter() - t0
+L = pr.part.L
+formula = (({R} - 1) * L + ({C} - 1) * L) * 4
+print(json.dumps(dict(R={R}, C={C}, seconds=dt, L=L,
+                      formula_bytes_per_dev_iter=formula,
+                      hlo_collective_bytes=coll)))
+"""
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=1500)
+        if out.returncode != 0:
+            log(f"[suite] comm_model {R}x{C} failed: {out.stderr[-600:]}")
+            continue
+        rows.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        log(f"[suite] comm_model {rows[-1]}")
+    if rows:
+        secs = [r["seconds"] for r in rows]
+        spread = (max(secs) - min(secs)) / max(secs)
+        emit(fh, {"metric": "comm_model_8dev_rmat17",
+                  "value": round(spread, 3),
+                  "unit": "mesh-shape time spread (0 = invariant)",
+                  "detail": {"rows": rows,
+                             "note": "HLO collective bytes are per "
+                             "fori_loop-body execution (one superstep); "
+                             "the x all-gather rides the rows axis and "
+                             "the partial-y reduce-scatter the cols "
+                             "axis, so 1x8 gathers nothing and 8x1 "
+                             "scatters nothing — the formula column "
+                             "gives the layout.py prediction"}})
+
+
 def scaling_table(fh):
     """nnz/s at 1..8 simulated CPU devices (subprocess per point so the
     device count can differ)."""
@@ -257,8 +351,8 @@ def main():
                 _DONE.add(json.loads(ln)["metric"])
     with open(OUT, "a") as fh:
         if not os.environ.get("SUITE_SKIP_SCALING") and \
-                not done("cpu_mesh_scaling_rmat16"):
-            scaling_table(fh)
+                not done("comm_model_8dev_rmat17"):
+            comm_model_row(fh)
         nonstationary_apps(fh)
         pagerank_large(fh)
 

@@ -181,8 +181,15 @@ class Executor:
                                      dense_len=Cc * L, interpret=interp)
             elif self.kernel == "panel":
                 from graphtap_tpu.kernels.panel_engine import spmv3_local
+                # nonstationary programs gate the pipeline on per-panel
+                # frontier activity: inactive panels' plan/window fetches
+                # collapse onto the fill blocks, so a late sparse BFS
+                # iteration costs O(active panels), not O(all edges)
+                # (reference: the xi-indexed work skipping of
+                # spmv_nonstationary, vertex_program.hpp:1438-1506)
                 y_dense = spmv3_local(x, plan_local, meta, sem,
-                                      dense_len=Cc * L, interpret=interp)
+                                      dense_len=Cc * L, interpret=interp,
+                                      gate=not self.program.stationary)
             else:
                 from graphtap_tpu.kernels.gather_engine import spmv2_local
                 y_dense = spmv2_local(x, plan_local, meta, sem,

@@ -270,9 +270,14 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
         # row-concatenated per panel): a single DMA stream per grid step
         # instead of four — the per-stream bookkeeping was the dominant
         # fixed cost of every route stage (docs/KERNEL_NOTES.md round 5)
+        # fixr gets one extra fill-plan BLOCK (all-0xF8 sel) past its
+        # fix_panels grid steps: frontier gating points inactive panels'
+        # plan index at it (their dst/seg/ini stay their own, so the
+        # fold correctly accumulates pure ⊕-identity)
         for nm, rt, npan, orows, twol in (
                 ("pa", pr, pa_panels + 1, PROWS, True),
-                ("fixr", fr, fix_panels, PROWS, True),
+                ("fixr", _append_fill_panel(fr), fix_panels + 1, PROWS,
+                 True),
                 ("f2", f2, f2_panels, PROWS, True)):
             arrs.setdefault(f"{nm}_plan", []).append(pack_route_plan(
                 rt.idx1, rt.sel_a, rt.sel_b, rt.idx3, npan, rt.src_rows,
@@ -377,8 +382,19 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
 
 
 def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
-                dense_len: int, interpret: bool = False):
-    """Per-device v3 SpMV inside shard_map: x (NC,) → y_dense."""
+                dense_len: int, interpret: bool = False,
+                gate: bool = False):
+    """Per-device v3 SpMV inside shard_map: x (NC,) → y_dense.
+
+    ``gate=True`` (nonstationary programs) turns on frontier gating:
+    per-iteration activity bits per 8-row x block propagate through the
+    panel graph (xe -> pa -> fixr), and inactive panels' plan indices /
+    window bases are redirected to the fill blocks — the revolving
+    buffers then skip those fetches, so a sparse iteration streams
+    O(active panels) bytes.  Semantics are exact: inactive sources hold
+    the ⊕-identity, which is precisely what the fill plan routes
+    (reference: spmv_nonstationary's xi-indexed work skipping,
+    vertex_program.hpp:1438-1506)."""
     fill = np.dtype(x.dtype).type(semiring.identity)
     if semiring.reduce_kind == "sum":
         mul_kind = "mul" if meta.has_w else "none"
@@ -387,7 +403,47 @@ def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
     sx = meta.sx_rows
     xp = x if sx * LANES == x.shape[0] else jnp.concatenate(
         [x, jnp.full((sx * LANES - x.shape[0],), fill, x.dtype)])
-    x2d = xp.reshape(sx, LANES)
+    # one appended all-fill block: the gated path redirects inactive
+    # windows here (their true content is the ⊕-identity by the
+    # nonstationary masking, so the substitution is exact)
+    x2d = jnp.concatenate(
+        [xp.reshape(sx, LANES),
+         jnp.full((STRIPE, LANES), fill, x.dtype)])
+    x_fill_blk = sx // STRIPE
+
+    nxe = meta.exp_panels + 1
+    npa = meta.pa_panels + 1
+    xe_bases, xe_pidx = t["xr_bases"], None
+    pa_bases, pa_pidx = t["pa_bases"], None
+    fx_bases, fx_pidx = t["fixr_bases"], None
+    if gate:
+        blk_act = jnp.any(
+            (x2d[:sx] != fill).reshape(sx // STRIPE, STRIPE * LANES),
+            axis=1)
+        xb = t["xr_bases"].reshape(nxe, meta.xr_nwin)
+        w_act = blk_act[jnp.clip(xb, 0, sx // STRIPE - 1)]
+        a_xe = jnp.any(w_act, axis=1).at[meta.exp_panels].set(True)
+        ar_xe = jnp.arange(nxe, dtype=jnp.int32)
+        xe_pidx = jnp.where(a_xe, ar_xe, meta.exp_panels)
+        xe_bases = jnp.where(w_act, xb,
+                             x_fill_blk).reshape(-1).astype(jnp.int32)
+        pb = t["pa_bases"].reshape(npa, meta.pa_nwin)
+        ps_act = a_xe[jnp.clip(pb // STRIPE, 0, nxe - 1)]
+        a_pa = jnp.any(ps_act, axis=1).at[meta.pa_panels].set(True)
+        ar_pa = jnp.arange(npa, dtype=jnp.int32)
+        pa_pidx = jnp.where(a_pa, ar_pa, meta.pa_panels)
+        pa_bases = jnp.where(ps_act, pb,
+                             meta.exp_panels * STRIPE
+                             ).reshape(-1).astype(jnp.int32)
+        fb = t["fixr_bases"].reshape(meta.fix_panels, meta.fixr_nwin)
+        fs_act = a_pa[jnp.clip(fb // STRIPE, 0, npa - 1)]
+        a_fx = jnp.any(fs_act, axis=1)
+        fx_pidx = jnp.where(a_fx,
+                            jnp.arange(meta.fix_panels, dtype=jnp.int32),
+                            meta.fix_panels)   # the appended fill block
+        fx_bases = jnp.where(fs_act, fb,
+                             meta.pa_panels * STRIPE
+                             ).reshape(-1).astype(jnp.int32)
 
     # x -> x_ext -> s0 is ONE fused kernel: the x->x_ext route runs over
     # the panel's <= NWIN_X source x windows and the expand route
@@ -396,16 +452,17 @@ def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
     # panel (meta panels + 1): the pa/fixr fill windows at blocks
     # exp_panels*8 / pa_panels*8 land inside it.
     s0 = route_xr_exp(
-        x2d, t["xr_bases"], t["xe_plan"], t.get("w_stream"), fill,
-        meta.exp_panels + 1, meta.xr_nwin, mul_kind=mul_kind,
-        interpret=interpret)
+        x2d, xe_bases, t["xe_plan"], t.get("w_stream"), fill,
+        nxe, meta.xr_nwin, mul_kind=mul_kind,
+        interpret=interpret, plan_idx=xe_pidx)
     s1 = route_passa(
-        s0, t["pa_bases"], t["pa_plan"], fill, meta.pa_panels + 1,
-        meta.pa_nwin, interpret=interpret)
+        s0, pa_bases, t["pa_plan"], fill, npa,
+        meta.pa_nwin, interpret=interpret, plan_idx=pa_pidx)
     y_mid = route_fold(
-        s1, t["fixr_bases"], t["fixr_plan"], t["fix_dst"], meta.nrb,
+        s1, fx_bases, t["fixr_plan"], t["fix_dst"], meta.nrb,
         semiring.reduce_kind, fill, meta.fix_panels, meta.fixr_nwin,
-        seg=t["fixr_seg"], ini=t["fixr_ini"], interpret=interpret)
+        seg=t["fixr_seg"], ini=t["fixr_ini"], interpret=interpret,
+        plan_idx=fx_pidx)
     # hub rows: lane-⊕-fold at the row's packed slot width (hub_mask
     # codes 32/64/128; several hubs share a row at 2^c-lane boundaries)
     # so fix2 reads one conflict-free cell per hub — one streamed

@@ -78,13 +78,12 @@ def _plan_slices(plan_ref, src_rows, out_rows, two_layer):
 
 
 def _route_body(nsrc_bands, mul_kind, fill, has_w, nwin_refs,
-                has_prefetch, two_layer, *kern_args):
-    """Shared 3-stage route. kern_args layout: [(prefetch), *src_refs
-    (nwin_refs or 1), plan, (w), out].  two_layer=False skips the whole
-    w_b band sweep — half the stage-2 crossbar work, for routes the
-    planner solved single-layer (the x->x_ext route)."""
-    if has_prefetch:
-        kern_args = kern_args[1:]
+                n_prefetch, two_layer, *kern_args):
+    """Shared 3-stage route. kern_args layout: [*prefetch (n_prefetch),
+    *src_refs (nwin_refs or 1), plan, (w), out].  two_layer=False skips
+    the whole w_b band sweep — half the stage-2 crossbar work, for
+    routes the planner solved single-layer (the x->x_ext route)."""
+    kern_args = kern_args[n_prefetch:]
     srcs = kern_args[:nwin_refs]
     plan_ref = kern_args[nwin_refs]
     w_ref = kern_args[nwin_refs + 1] if has_w else None
@@ -138,7 +137,8 @@ def _route_body(nsrc_bands, mul_kind, fill, has_w, nwin_refs,
         out_ref[ob * STRIPE:(ob + 1) * STRIPE, :] = acc
 
 
-def _xr_exp_body(nwin, mul_kind, fill, has_w, bases_ref, *kern_args):
+def _xr_exp_body(nwin, mul_kind, fill, has_w, bases_ref, pidx_ref,
+                 *kern_args):
     """Fused x->x_ext route (one landing layer) + expand route: the
     x_ext panel never round-trips HBM — it is built in registers from
     the panel's ``nwin`` x-table windows and immediately expanded to the
@@ -216,29 +216,33 @@ def _xr_exp_body(nwin, mul_kind, fill, has_w, bases_ref, *kern_args):
 
 def route_xr_exp(x2d, bases, plan, weights, fill, npanels: int,
                  nwin: int, mul_kind: str = "none",
-                 interpret: bool = False):
+                 interpret: bool = False, plan_idx=None):
     """x table -> contribution panels in ONE kernel (fused x->x_ext route
     + expand route); ``plan`` is the packed concatenation of both routes'
-    streams (see _xr_exp_body), ``bases`` the per-panel x windows."""
+    streams (see _xr_exp_body), ``bases`` the per-panel x windows.
+    ``plan_idx`` as in route_passa (frontier gating)."""
     has_w = weights is not None
     kern = functools.partial(_xr_exp_body, nwin, mul_kind, fill, has_w)
     prows = nwin * STRIPE + 3 * XROWS + 3 * PROWS
+    if plan_idx is None:
+        plan_idx = jnp.arange(npanels, dtype=jnp.int32)
 
     def mk_spec(t):
         return pl.BlockSpec((STRIPE, LANES),
-                            lambda i, b, t=t: (b[i * nwin + t], 0))
+                            lambda i, b, q, t=t: (b[i * nwin + t], 0))
 
     in_specs = [mk_spec(t) for t in range(nwin)] + [
-        pl.BlockSpec((prows, LANES), lambda i, b: (i, 0))]
-    args = [bases] + [x2d] * nwin + [plan]
+        pl.BlockSpec((prows, LANES), lambda i, b, q: (q[i], 0))]
+    args = [bases, plan_idx] + [x2d] * nwin + [plan]
     if has_w:
-        in_specs.append(pl.BlockSpec((PROWS, LANES), lambda i, b: (i, 0)))
+        in_specs.append(pl.BlockSpec((PROWS, LANES),
+                                     lambda i, b, q: (q[i], 0)))
         args.append(weights)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(npanels,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((PROWS, LANES), lambda i, b: (i, 0)),
+        out_specs=pl.BlockSpec((PROWS, LANES), lambda i, b, q: (i, 0)),
     )
     return pl.pallas_call(
         kern,
@@ -249,7 +253,7 @@ def route_xr_exp(x2d, bases, plan, weights, fill, npanels: int,
 
 
 def _route_fold_body(nwin, reduce_kind, fill, bases_ref, dst_ref,
-                     seg_ref, ini_ref, *kern_args):
+                     seg_ref, ini_ref, pidx_ref, *kern_args):
     """3-stage route fused with the chunk ⊕-fold: instead of writing the
     routed (64,128) panel to HBM for a fold kernel to re-read, each
     output band folds to one row in-register and RMWs the VMEM-resident
@@ -305,7 +309,8 @@ def _route_fold_body(nwin, reduce_kind, fill, bases_ref, dst_ref,
 
 def route_fold(stream0, bases, plan, dst, nrows: int,
                reduce_kind: str, fill, npanels: int, nwin: int,
-               seg=None, ini=None, interpret: bool = False):
+               seg=None, ini=None, interpret: bool = False,
+               plan_idx=None):
     """Fixup route + chunk fold in one kernel: route panels of ``stream0``
     (read as ``nwin`` stripe windows at prefetched bases) and ⊕-fold each
     routed 8-row band into row ``dst[p*8+ob]`` of the y table.
@@ -327,21 +332,25 @@ def route_fold(stream0, bases, plan, dst, nrows: int,
         ini = jnp.zeros((npanels,), jnp.int32).at[0].set(1)
     kern = functools.partial(_route_fold_body, nwin, reduce_kind, fill)
     prows = plan_rows(nwin * STRIPE)
+    if plan_idx is None:
+        plan_idx = jnp.arange(npanels, dtype=jnp.int32)
 
     def mk_spec(t):
-        return pl.BlockSpec((STRIPE, LANES),
-                            lambda i, b, d, s, n, t=t: (b[i * nwin + t], 0))
+        return pl.BlockSpec(
+            (STRIPE, LANES),
+            lambda i, b, d, s, n, q, t=t: (b[i * nwin + t], 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(npanels,),
         in_specs=[mk_spec(t) for t in range(nwin)] + [
-            pl.BlockSpec((prows, LANES), lambda i, b, d, s, n: (i, 0)),
+            pl.BlockSpec((prows, LANES),
+                         lambda i, b, d, s, n, q: (q[i], 0)),
         ],
         out_specs=pl.BlockSpec((seg_rows, LANES),
-                               lambda i, b, d, s, n: (s[i], 0)),
+                               lambda i, b, d, s, n, q: (s[i], 0)),
     )
-    args = [bases, dst, seg, ini] + [stream0] * nwin + [plan]
+    args = [bases, dst, seg, ini, plan_idx] + [stream0] * nwin + [plan]
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -357,7 +366,7 @@ def route_expand(x_ext, plan, weights, fill,
     panels (npanels*64,128), ⊗-weighted."""
     has_w = weights is not None
     kern = functools.partial(_route_body, XROWS // STRIPE, mul_kind, fill,
-                             has_w, 1, False, True)
+                             has_w, 1, 0, True)
     prows = plan_rows(XROWS)
     in_specs = [
         pl.BlockSpec((XROWS, LANES), lambda i: (i, 0)),
@@ -380,29 +389,36 @@ def route_expand(x_ext, plan, weights, fill,
 
 def route_passa(stream0, bases, plan, fill,
                 npanels: int, nwin: int, interpret: bool = False,
-                out_rows: int = PROWS, two_layer: bool = True):
+                out_rows: int = PROWS, two_layer: bool = True,
+                plan_idx=None):
     """Pass-A route: corner-turn reads of ``nwin`` stripe windows at
     prefetched bases (8-row block indices into stream0, which carries an
     appended all-fill panel), then the 3-stage route.  ``out_rows`` = 64
     for the contribution stream, 32 (XROWS) for the x->x_ext route.
     ``two_layer=False`` for single-landing-layer plans (xr): the packed
-    plan then carries no sel_b block and stage 2 runs one band sweep."""
+    plan then carries no sel_b block and stage 2 runs one band sweep.
+    ``plan_idx`` (optional, (npanels,) int32) selects each grid step's
+    plan block — frontier gating points inactive panels at the fill
+    panel's plan (all-0xF8 sel -> pure ⊕-identity output) so the
+    revolving buffers skip their fetches entirely."""
     kern = functools.partial(_route_body, nwin, "none", fill, False, nwin,
-                             True, two_layer)
+                             2, two_layer)
     prows = plan_rows(nwin * STRIPE, out_rows, two_layer)
+    if plan_idx is None:
+        plan_idx = jnp.arange(npanels, dtype=jnp.int32)
 
     def mk_spec(t):
         return pl.BlockSpec((STRIPE, LANES),
-                            lambda i, b, t=t: (b[i * nwin + t], 0))
+                            lambda i, b, q, t=t: (b[i * nwin + t], 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(npanels,),
         in_specs=[mk_spec(t) for t in range(nwin)] + [
-            pl.BlockSpec((prows, LANES), lambda i, b: (i, 0))],
-        out_specs=pl.BlockSpec((out_rows, LANES), lambda i, b: (i, 0)),
+            pl.BlockSpec((prows, LANES), lambda i, b, q: (q[i], 0))],
+        out_specs=pl.BlockSpec((out_rows, LANES), lambda i, b, q: (i, 0)),
     )
-    args = [bases] + [stream0] * nwin + [plan]
+    args = [bases, plan_idx] + [stream0] * nwin + [plan]
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,

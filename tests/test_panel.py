@@ -330,3 +330,75 @@ def test_route_panels_max_row_excludes_fill_row():
     v = rng.random((srows, LANES)).astype(np.float32)
     out = simulate_route(plan, v, 1)
     np.testing.assert_array_equal(out[rows, lanes], v[src_r, src_c])
+
+
+def test_spmv3_frontier_gating_exact():
+    """Gated execution (frontier activity bits redirecting plan/window
+    fetches to the fill blocks) must be bit-identical to the ungated
+    pipeline when inactive x entries hold the ⊕-identity — the panel
+    analog of the reference's xi-indexed work skipping
+    (vertex_program.hpp:1438-1506)."""
+    import jax.numpy as jnp
+    from graphtap_tpu.kernels.panel_engine import (build_spmv3_meta,
+                                                   spmv3_local)
+    from graphtap_tpu.kernels.semiring import min_plus
+    from graphtap_tpu.format.tiles import build_tileset
+    from graphtap_tpu.parallel.layout import Partition
+    from graphtap_tpu.config import Compression
+
+    rng = np.random.default_rng(21)
+    n, E = 4096, 50000
+    r = rng.integers(0, n, size=E).astype(np.int64)
+    c = rng.integers(0, n, size=E).astype(np.int64)
+    w = rng.integers(1, 60, size=E).astype(np.int32)
+    part = Partition.build(nv=n, R=1, C=1, segment_align=1024)
+    ts = build_tileset(r, c, w, part, compression=Compression.TCSC)
+    meta = build_spmv3_meta(ts, value_dtype=np.int32)
+    t = {k: jnp.asarray(v[0]) for k, v in meta.arrays.items()}
+    sem = min_plus()
+    INF = np.int32(sem.identity)
+    # a sparse frontier: ~2% of columns active, the rest at identity
+    x = np.full(part.tile_cols, INF, np.int32)
+    act = rng.random(part.tile_cols) < 0.02
+    x[act] = rng.integers(0, 1000, size=int(act.sum())).astype(np.int32)
+    y_ungated = np.asarray(spmv3_local(
+        jnp.asarray(x), t, meta, sem, dense_len=part.tile_rows,
+        interpret=True, gate=False))
+    y_gated = np.asarray(spmv3_local(
+        jnp.asarray(x), t, meta, sem, dense_len=part.tile_rows,
+        interpret=True, gate=True))
+    np.testing.assert_array_equal(y_gated, y_ungated)
+    # and both match the dense oracle
+    expect = np.full(part.tile_rows, np.int64(INF))
+    contrib = x[c].astype(np.int64) + w
+    contrib = np.where(x[c] == INF, np.int64(INF), contrib)
+    np.minimum.at(expect, r, np.minimum(contrib, np.int64(INF)))
+    np.testing.assert_array_equal(y_ungated, expect.astype(np.int32))
+
+
+def test_spmv3_frontier_gating_empty_frontier():
+    """An all-identity x (converged frontier) must produce an
+    all-identity y through the gated path."""
+    import jax.numpy as jnp
+    from graphtap_tpu.kernels.panel_engine import (build_spmv3_meta,
+                                                   spmv3_local)
+    from graphtap_tpu.kernels.semiring import min_plus
+    from graphtap_tpu.format.tiles import build_tileset
+    from graphtap_tpu.parallel.layout import Partition
+    from graphtap_tpu.config import Compression
+
+    rng = np.random.default_rng(5)
+    n, E = 2048, 20000
+    r = rng.integers(0, n, size=E).astype(np.int64)
+    c = rng.integers(0, n, size=E).astype(np.int64)
+    part = Partition.build(nv=n, R=1, C=1, segment_align=1024)
+    ts = build_tileset(r, c, None, part, compression=Compression.TCSC)
+    meta = build_spmv3_meta(ts, value_dtype=np.int32)
+    t = {k: jnp.asarray(v[0]) for k, v in meta.arrays.items()}
+    sem = min_plus()
+    INF = np.int32(sem.identity)
+    x = np.full(part.tile_cols, INF, np.int32)
+    y = np.asarray(spmv3_local(jnp.asarray(x), t, meta, sem,
+                               dense_len=part.tile_rows, interpret=True,
+                               gate=True))
+    assert (y == INF).all()
