@@ -56,6 +56,32 @@ def _graph(scale, cfg_fn, weighted=False, mesh=None):
     return Graph.from_edges(src, dst, w, cfg_fn(1 << scale), mesh=mesh)
 
 
+def _row_artifacts(g, scale, weighted, value_dtype):
+    """Disk-cached ROW tiles + v3 plans for the nonstationary apps, so a
+    re-run (or an A/B after a kernel change) skips the plan build."""
+    import numpy as np
+    from graphtap_tpu.config import Ordering
+    from graphtap_tpu.tools import artifact_cache as ac
+    tag = "w" if weighted else ""
+    key = f"rmat{scale}_ef16_s1{tag}_row_1x1"
+    tp = os.path.join(CACHE, f"tiles_{key}.npz")
+    if os.path.exists(tp):
+        tiles = ac.load_tileset(tp)
+    else:
+        tiles = g.tiled(Ordering.ROW)
+        ac.save_tileset(tiles, tp)
+    if KERNEL != "panel":
+        return tiles, None
+    pp = os.path.join(CACHE,
+                      f"plans3_{key}_{np.dtype(value_dtype).name}.npz")
+    plans = ac.load_spmv3_meta(pp) if os.path.exists(pp) else None
+    if plans is None:
+        from graphtap_tpu.kernels.panel_engine import build_spmv3_meta
+        plans = build_spmv3_meta(tiles, value_dtype=np.dtype(value_dtype))
+        ac.save_spmv3_meta(plans, pp)
+    return tiles, plans
+
+
 def _golden_nonstationary(name):
     """Disk-memoized golden (checksum, reachable) for one app at SCALE
     (reference analog: the SLURM greps of the checksum lines,
@@ -114,9 +140,11 @@ def nonstationary_apps(fh):
             continue
         t0 = time.perf_counter()
         g = _graph(SCALE, cfg_fn, weighted=weighted)
+        tiles, plans = _row_artifacts(g, SCALE, weighted,
+                                      prog.value_dtype)
         ex = Executor(g, prog,
                       EngineConfig(ordering=Ordering.ROW, **eflags),
-                      kernel=KERNEL)
+                      tiles=tiles, kernel=KERNEL, shuffle_plans=plans)
         ex.sync_uploads()
         upload_s = time.perf_counter() - t0
         log(f"[suite] {name}: " + ex.tiles.balance_report())
@@ -340,8 +368,11 @@ print(json.dumps(dict(nd={nd}, seconds=dt,
 
 def main():
     global KERNEL
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(CACHE, "jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if not KERNEL:
-        import jax
         KERNEL = "panel" if jax.devices()[0].platform == "tpu" else "scan"
     os.makedirs(CACHE, exist_ok=True)
     # resumable: metrics already in BENCH_SUITE.json are kept and skipped

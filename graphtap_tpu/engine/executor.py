@@ -187,9 +187,14 @@ class Executor:
                 # iteration costs O(active panels), not O(all edges)
                 # (reference: the xi-indexed work skipping of
                 # spmv_nonstationary, vertex_program.hpp:1438-1506)
+                import os as _os
+                _gm = _os.environ.get("GRAPHTAP_PANEL_GATE", "auto")
+                _gate = False
+                if not self.program.stationary and _gm != "0":
+                    _gate = True if _gm == "1" else "auto"
                 y_dense = spmv3_local(x, plan_local, meta, sem,
                                       dense_len=Cc * L, interpret=interp,
-                                      gate=not self.program.stationary)
+                                      gate=_gate)
             else:
                 from graphtap_tpu.kernels.gather_engine import spmv2_local
                 y_dense = spmv2_local(x, plan_local, meta, sem,

@@ -381,12 +381,17 @@ def build_spmv3_meta(tiles: TileSet, value_dtype=np.float32) -> Spmv3Meta:
                      has_w=has_w, arrays=arrays)
 
 
+GATE_RATIO = 0.6    # activity fraction above which the dense pipeline
+# wins — the reference's sparse/dense vote threshold
+# (vertex_program.hpp:767, :1378), here over active x blocks
+
+
 def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
                 dense_len: int, interpret: bool = False,
-                gate: bool = False):
+                gate=False):
     """Per-device v3 SpMV inside shard_map: x (NC,) → y_dense.
 
-    ``gate=True`` (nonstationary programs) turns on frontier gating:
+    ``gate`` turns on frontier gating for nonstationary programs:
     per-iteration activity bits per 8-row x block propagate through the
     panel graph (xe -> pa -> fixr), and inactive panels' plan indices /
     window bases are redirected to the fill blocks — the revolving
@@ -394,7 +399,14 @@ def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
     O(active panels) bytes.  Semantics are exact: inactive sources hold
     the ⊕-identity, which is precisely what the fill plan routes
     (reference: spmv_nonstationary's xi-indexed work skipping,
-    vertex_program.hpp:1438-1506)."""
+    vertex_program.hpp:1438-1506).
+
+    ``gate="auto"`` (the engine default) dispatches per iteration with a
+    ``lax.cond`` on the measured activity ratio — dense iterations run
+    the strictly-static pipeline (no SMEM plan indirection), sparse ones
+    the gated pipeline (the reference's per-iteration sparse/dense vote,
+    vertex_program.hpp:767).  ``gate=True`` forces the gated pipeline
+    (tests)."""
     fill = np.dtype(x.dtype).type(semiring.identity)
     if semiring.reduce_kind == "sum":
         mul_kind = "mul" if meta.has_w else "none"
@@ -413,13 +425,14 @@ def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
 
     nxe = meta.exp_panels + 1
     npa = meta.pa_panels + 1
-    xe_bases, xe_pidx = t["xr_bases"], None
-    pa_bases, pa_pidx = t["pa_bases"], None
-    fx_bases, fx_pidx = t["fixr_bases"], None
-    if gate:
-        blk_act = jnp.any(
+
+    def _activity(x2d):
+        return jnp.any(
             (x2d[:sx] != fill).reshape(sx // STRIPE, STRIPE * LANES),
             axis=1)
+
+    def _gating_maps(x2d):
+        blk_act = _activity(x2d)
         xb = t["xr_bases"].reshape(nxe, meta.xr_nwin)
         w_act = blk_act[jnp.clip(xb, 0, sx // STRIPE - 1)]
         a_xe = jnp.any(w_act, axis=1).at[meta.exp_panels].set(True)
@@ -444,42 +457,68 @@ def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
         fx_bases = jnp.where(fs_act, fb,
                              meta.pa_panels * STRIPE
                              ).reshape(-1).astype(jnp.int32)
+        return (xe_bases, xe_pidx, pa_bases, pa_pidx, fx_bases, fx_pidx)
 
-    # x -> x_ext -> s0 is ONE fused kernel: the x->x_ext route runs over
-    # the panel's <= NWIN_X source x windows and the expand route
-    # consumes the register-resident x_ext bands immediately (the x_ext
-    # stream never round-trips HBM).  Both emit their trailing fill
-    # panel (meta panels + 1): the pa/fixr fill windows at blocks
-    # exp_panels*8 / pa_panels*8 land inside it.
-    s0 = route_xr_exp(
-        x2d, xe_bases, t["xe_plan"], t.get("w_stream"), fill,
-        nxe, meta.xr_nwin, mul_kind=mul_kind,
-        interpret=interpret, plan_idx=xe_pidx)
-    s1 = route_passa(
-        s0, pa_bases, t["pa_plan"], fill, npa,
-        meta.pa_nwin, interpret=interpret, plan_idx=pa_pidx)
-    y_mid = route_fold(
-        s1, fx_bases, t["fixr_plan"], t["fix_dst"], meta.nrb,
-        semiring.reduce_kind, fill, meta.fix_panels, meta.fixr_nwin,
-        seg=t["fixr_seg"], ini=t["fixr_ini"], interpret=interpret,
-        plan_idx=fx_pidx)
-    # hub rows: lane-⊕-fold at the row's packed slot width (hub_mask
-    # codes 32/64/128; several hubs share a row at 2^c-lane boundaries)
-    # so fix2 reads one conflict-free cell per hub — one streamed
-    # butterfly pass instead of three XLA where-passes
-    y_mid = hub_fold(y_mid, t["hub_mask"], semiring.reduce_kind,
-                     interpret=interpret)
-    # fix2 lands straight in the dense y layout (the planner mapped each
-    # cell through the TCSC renumbering's inverse) — no expansion gather
-    y_dense = route_fold(
-        y_mid, t["f2_bases"], t["f2_plan"], t["fix2_dst"], meta.f2_rows,
-        semiring.reduce_kind, fill, meta.f2_panels, meta.f2_nwin,
-        seg=t["f2_seg"], ini=t["f2_ini"], interpret=interpret)
-    # rows of dense segments this device never visited are uninitialized
-    # memory — mask them to the ⊕-identity before the exchange (skipped
-    # statically when every device covers every segment, the common case)
-    if not bool(meta.arrays["f2_segok"].all()):
-        seg_rows2 = min(meta.f2_rows, FOLD_SEG_ROWS)
-        ok = jnp.repeat(t["f2_segok"] != 0, seg_rows2)[:, None]
-        y_dense = jnp.where(ok, y_dense, fill)
-    return y_dense.reshape(-1)[:dense_len]
+    def _pipeline(x2d, xe_bases, xe_pidx, pa_bases, pa_pidx,
+                  fx_bases, fx_pidx):
+        # x -> x_ext -> s0 is ONE fused kernel: the x->x_ext route runs
+        # over the panel's <= NWIN_X source x windows and the expand
+        # route consumes the register-resident x_ext bands immediately
+        # (the x_ext stream never round-trips HBM).  Both emit their
+        # trailing fill panel (meta panels + 1): the pa/fixr fill
+        # windows at blocks exp_panels*8 / pa_panels*8 land inside it.
+        s0 = route_xr_exp(
+            x2d, xe_bases, t["xe_plan"], t.get("w_stream"), fill,
+            nxe, meta.xr_nwin, mul_kind=mul_kind,
+            interpret=interpret, plan_idx=xe_pidx)
+        s1 = route_passa(
+            s0, pa_bases, t["pa_plan"], fill, npa,
+            meta.pa_nwin, interpret=interpret, plan_idx=pa_pidx)
+        y_mid = route_fold(
+            s1, fx_bases, t["fixr_plan"], t["fix_dst"], meta.nrb,
+            semiring.reduce_kind, fill, meta.fix_panels, meta.fixr_nwin,
+            seg=t["fixr_seg"], ini=t["fixr_ini"], interpret=interpret,
+            plan_idx=fx_pidx)
+        # hub rows: lane-⊕-fold at the row's packed slot width
+        # (hub_mask codes 32/64/128; several hubs share a row at
+        # 2^c-lane boundaries) so fix2 reads one conflict-free cell per
+        # hub — one streamed butterfly pass instead of three XLA
+        # where-passes
+        y_mid = hub_fold(y_mid, t["hub_mask"], semiring.reduce_kind,
+                         interpret=interpret)
+        # fix2 lands straight in the dense y layout (the planner mapped
+        # each cell through the TCSC renumbering's inverse) — no
+        # expansion gather
+        y_dense = route_fold(
+            y_mid, t["f2_bases"], t["f2_plan"], t["fix2_dst"],
+            meta.f2_rows, semiring.reduce_kind, fill, meta.f2_panels,
+            meta.f2_nwin, seg=t["f2_seg"], ini=t["f2_ini"],
+            interpret=interpret)
+        # rows of dense segments this device never visited are
+        # uninitialized memory — mask them to the ⊕-identity before the
+        # exchange (skipped statically when every device covers every
+        # segment, the common case)
+        if not bool(meta.arrays["f2_segok"].all()):
+            seg_rows2 = min(meta.f2_rows, FOLD_SEG_ROWS)
+            ok = jnp.repeat(t["f2_segok"] != 0, seg_rows2)[:, None]
+            y_dense = jnp.where(ok, y_dense, fill)
+        return y_dense.reshape(-1)[:dense_len]
+
+    def _static(x2d):
+        return _pipeline(x2d, t["xr_bases"], None, t["pa_bases"], None,
+                         t["fixr_bases"], None)
+
+    def _gated(x2d):
+        return _pipeline(x2d, *_gating_maps(x2d))
+
+    if not gate:
+        return _static(x2d)
+    if gate == "auto":
+        # per-iteration sparse/dense dispatch: dense iterations take the
+        # strictly-static pipeline (no SMEM plan indirection), sparse
+        # ones the gated pipeline (the reference's activity-ratio vote,
+        # vertex_program.hpp:767)
+        from jax import lax
+        ratio = jnp.mean(_activity(x2d).astype(jnp.float32))
+        return lax.cond(ratio <= GATE_RATIO, _gated, _static, x2d)
+    return _gated(x2d)

@@ -222,27 +222,48 @@ def route_xr_exp(x2d, bases, plan, weights, fill, npanels: int,
     streams (see _xr_exp_body), ``bases`` the per-panel x windows.
     ``plan_idx`` as in route_passa (frontier gating)."""
     has_w = weights is not None
-    kern = functools.partial(_xr_exp_body, nwin, mul_kind, fill, has_w)
     prows = nwin * STRIPE + 3 * XROWS + 3 * PROWS
-    if plan_idx is None:
-        plan_idx = jnp.arange(npanels, dtype=jnp.int32)
+    gated = plan_idx is not None
+    if gated:
+        kern = functools.partial(_xr_exp_body, nwin, mul_kind, fill,
+                                 has_w)
 
-    def mk_spec(t):
-        return pl.BlockSpec((STRIPE, LANES),
-                            lambda i, b, q, t=t: (b[i * nwin + t], 0))
+        def mk_spec(t):
+            return pl.BlockSpec((STRIPE, LANES),
+                                lambda i, b, q, t=t: (b[i * nwin + t], 0))
 
-    in_specs = [mk_spec(t) for t in range(nwin)] + [
-        pl.BlockSpec((prows, LANES), lambda i, b, q: (q[i], 0))]
-    args = [bases, plan_idx] + [x2d] * nwin + [plan]
-    if has_w:
-        in_specs.append(pl.BlockSpec((PROWS, LANES),
-                                     lambda i, b, q: (q[i], 0)))
-        args.append(weights)
+        in_specs = [mk_spec(t) for t in range(nwin)] + [
+            pl.BlockSpec((prows, LANES), lambda i, b, q: (q[i], 0))]
+        args = [bases, plan_idx] + [x2d] * nwin + [plan]
+        if has_w:
+            in_specs.append(pl.BlockSpec((PROWS, LANES),
+                                         lambda i, b, q: (q[i], 0)))
+            args.append(weights)
+        out_specs = pl.BlockSpec((PROWS, LANES), lambda i, b, q: (i, 0))
+    else:
+        # static plan/weight maps (stationary): strictly sequential
+        # streams, no SMEM indirection in the revolving-buffer pipeline
+        def kern(bases_ref, *kern_args):
+            return _xr_exp_body(nwin, mul_kind, fill, has_w,
+                                bases_ref, None, *kern_args)
+
+        def mk_spec(t):
+            return pl.BlockSpec((STRIPE, LANES),
+                                lambda i, b, t=t: (b[i * nwin + t], 0))
+
+        in_specs = [mk_spec(t) for t in range(nwin)] + [
+            pl.BlockSpec((prows, LANES), lambda i, b: (i, 0))]
+        args = [bases] + [x2d] * nwin + [plan]
+        if has_w:
+            in_specs.append(pl.BlockSpec((PROWS, LANES),
+                                         lambda i, b: (i, 0)))
+            args.append(weights)
+        out_specs = pl.BlockSpec((PROWS, LANES), lambda i, b: (i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=2 if gated else 1,
         grid=(npanels,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((PROWS, LANES), lambda i, b, q: (i, 0)),
+        out_specs=out_specs,
     )
     return pl.pallas_call(
         kern,
@@ -330,27 +351,51 @@ def route_fold(stream0, bases, plan, dst, nrows: int,
             f"pass the planner's per-panel seg/ini arrays")
         seg = jnp.zeros((npanels,), jnp.int32)
         ini = jnp.zeros((npanels,), jnp.int32).at[0].set(1)
-    kern = functools.partial(_route_fold_body, nwin, reduce_kind, fill)
     prows = plan_rows(nwin * STRIPE)
-    if plan_idx is None:
-        plan_idx = jnp.arange(npanels, dtype=jnp.int32)
+    gated = plan_idx is not None
+    if gated:
+        kern = functools.partial(_route_fold_body, nwin, reduce_kind,
+                                 fill)
 
-    def mk_spec(t):
-        return pl.BlockSpec(
-            (STRIPE, LANES),
-            lambda i, b, d, s, n, q, t=t: (b[i * nwin + t], 0))
+        def mk_spec(t):
+            return pl.BlockSpec(
+                (STRIPE, LANES),
+                lambda i, b, d, s, n, q, t=t: (b[i * nwin + t], 0))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(npanels,),
-        in_specs=[mk_spec(t) for t in range(nwin)] + [
+        in_specs = [mk_spec(t) for t in range(nwin)] + [
             pl.BlockSpec((prows, LANES),
                          lambda i, b, d, s, n, q: (q[i], 0)),
-        ],
-        out_specs=pl.BlockSpec((seg_rows, LANES),
-                               lambda i, b, d, s, n, q: (s[i], 0)),
+        ]
+        out_specs = pl.BlockSpec((seg_rows, LANES),
+                                 lambda i, b, d, s, n, q: (s[i], 0))
+        args = [bases, dst, seg, ini, plan_idx] + [stream0] * nwin + \
+            [plan]
+    else:
+        # static plan map (stationary): sequential plan stream, no SMEM
+        # indirection in the revolving-buffer pipeline
+        def kern(bases_ref, dst_ref, seg_ref, ini_ref, *kern_args):
+            return _route_fold_body(nwin, reduce_kind, fill, bases_ref,
+                                    dst_ref, seg_ref, ini_ref, None,
+                                    *kern_args)
+
+        def mk_spec(t):
+            return pl.BlockSpec(
+                (STRIPE, LANES),
+                lambda i, b, d, s, n, t=t: (b[i * nwin + t], 0))
+
+        in_specs = [mk_spec(t) for t in range(nwin)] + [
+            pl.BlockSpec((prows, LANES),
+                         lambda i, b, d, s, n: (i, 0)),
+        ]
+        out_specs = pl.BlockSpec((seg_rows, LANES),
+                                 lambda i, b, d, s, n: (s[i], 0))
+        args = [bases, dst, seg, ini] + [stream0] * nwin + [plan]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5 if gated else 4,
+        grid=(npanels,),
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
-    args = [bases, dst, seg, ini, plan_idx] + [stream0] * nwin + [plan]
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -401,24 +446,36 @@ def route_passa(stream0, bases, plan, fill,
     plan block — frontier gating points inactive panels at the fill
     panel's plan (all-0xF8 sel -> pure ⊕-identity output) so the
     revolving buffers skip their fetches entirely."""
-    kern = functools.partial(_route_body, nwin, "none", fill, False, nwin,
-                             2, two_layer)
     prows = plan_rows(nwin * STRIPE, out_rows, two_layer)
-    if plan_idx is None:
-        plan_idx = jnp.arange(npanels, dtype=jnp.int32)
-
-    def mk_spec(t):
-        return pl.BlockSpec((STRIPE, LANES),
-                            lambda i, b, q, t=t: (b[i * nwin + t], 0))
-
+    gated = plan_idx is not None
+    kern = functools.partial(_route_body, nwin, "none", fill, False, nwin,
+                             2 if gated else 1, two_layer)
+    if gated:
+        def mk_spec(t):
+            return pl.BlockSpec((STRIPE, LANES),
+                                lambda i, b, q, t=t: (b[i * nwin + t], 0))
+        in_specs = [mk_spec(t) for t in range(nwin)] + [
+            pl.BlockSpec((prows, LANES), lambda i, b, q: (q[i], 0))]
+        out_specs = pl.BlockSpec((out_rows, LANES),
+                                 lambda i, b, q: (i, 0))
+        args = [bases, plan_idx] + [stream0] * nwin + [plan]
+    else:
+        # static plan map: the ungated (stationary) path keeps the plan
+        # stream strictly sequential so the revolving-buffer pipeline
+        # never indirects through SMEM
+        def mk_spec(t):
+            return pl.BlockSpec((STRIPE, LANES),
+                                lambda i, b, t=t: (b[i * nwin + t], 0))
+        in_specs = [mk_spec(t) for t in range(nwin)] + [
+            pl.BlockSpec((prows, LANES), lambda i, b: (i, 0))]
+        out_specs = pl.BlockSpec((out_rows, LANES), lambda i, b: (i, 0))
+        args = [bases] + [stream0] * nwin + [plan]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=2 if gated else 1,
         grid=(npanels,),
-        in_specs=[mk_spec(t) for t in range(nwin)] + [
-            pl.BlockSpec((prows, LANES), lambda i, b, q: (q[i], 0))],
-        out_specs=pl.BlockSpec((out_rows, LANES), lambda i, b, q: (i, 0)),
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
-    args = [bases, plan_idx] + [stream0] * nwin + [plan]
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,

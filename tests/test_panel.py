@@ -368,6 +368,20 @@ def test_spmv3_frontier_gating_exact():
         jnp.asarray(x), t, meta, sem, dense_len=part.tile_rows,
         interpret=True, gate=True))
     np.testing.assert_array_equal(y_gated, y_ungated)
+    # auto dispatch (the engine default): a 2%-active frontier votes the
+    # gated branch, a dense x the static branch — both bit-identical
+    y_auto = np.asarray(spmv3_local(
+        jnp.asarray(x), t, meta, sem, dense_len=part.tile_rows,
+        interpret=True, gate="auto"))
+    np.testing.assert_array_equal(y_auto, y_ungated)
+    xd = rng.integers(0, 1000, size=part.tile_cols).astype(np.int32)
+    yd_auto = np.asarray(spmv3_local(
+        jnp.asarray(xd), t, meta, sem, dense_len=part.tile_rows,
+        interpret=True, gate="auto"))
+    yd_static = np.asarray(spmv3_local(
+        jnp.asarray(xd), t, meta, sem, dense_len=part.tile_rows,
+        interpret=True, gate=False))
+    np.testing.assert_array_equal(yd_auto, yd_static)
     # and both match the dense oracle
     expect = np.full(part.tile_rows, np.int64(INF))
     contrib = x[c].astype(np.int64) + w
