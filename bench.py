@@ -143,6 +143,13 @@ def main():
         f"t={time.perf_counter()-t0:.0f}s")
     deg_ex.initialize()
     deg_ex.execute(1)
+    # release the degree phase's tiles + v1 plans from HBM BEFORE the
+    # PR plans upload (reference: the free() between programs,
+    # vertex_program.hpp:47-54) — at RMAT-22 the v1 shuffle plans are
+    # ~8.7 GB and the PR panel plans ~5 GB; coexisting they OOM the
+    # 16 GB chip at upload time.  free() keeps the state vectors the PR
+    # initialize(other=...) needs.
+    deg_ex.free()
     log(f"[bench] degree phase done t={time.perf_counter()-t0:.0f}s")
 
     t_c = time.perf_counter()
@@ -154,11 +161,6 @@ def main():
     upload_s += time.perf_counter() - t_c
     log(f"[bench] pr upload done t={time.perf_counter()-t0:.0f}s")
     pr_ex.initialize(other=deg_ex)
-    # release the degree phase's tiles + v1 plans from HBM (reference:
-    # the free() between programs, vertex_program.hpp:47-54) — at
-    # RMAT-22 the v1 shuffle plans alone are ~6 GB and the PR panel
-    # compile OOMs if both formats stay resident
-    deg_ex.free()
 
     nnz = pr_ex.tiles.nnz_total
 
