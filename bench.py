@@ -126,6 +126,12 @@ def main():
     # kernel plans in seconds (counting sort), so only the PR ordering
     # pays the panel planning cost
     deg_kernel = "shuffle" if KERNEL in ("panel", "shuffle2") else KERNEL
+    if SCALE >= 21 and KERNEL in ("panel", "shuffle2"):
+        # the v1 shuffle plans are ~8.7 GB at RMAT-22 and the XLA
+        # loop-boundary copy doubles frag_idx (7.3 GB) — the degree
+        # phase alone exceeds HBM before PR starts.  One untimed SpMV
+        # doesn't need plans: use the XLA scan kernel
+        deg_kernel = "scan"
     tiles_col, plans_col = get_artifacts(g, Ordering.COL, deg_kernel,
                                          jnp.float32)
     tiles_row, plans_row = get_artifacts(g, Ordering.ROW, KERNEL,

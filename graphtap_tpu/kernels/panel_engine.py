@@ -517,8 +517,18 @@ def spmv3_local(x, t: Dict, meta: Spmv3Meta, semiring: Semiring,
         # per-iteration sparse/dense dispatch: dense iterations take the
         # strictly-static pipeline (no SMEM plan indirection), sparse
         # ones the gated pipeline (the reference's activity-ratio vote,
-        # vertex_program.hpp:767)
+        # vertex_program.hpp:767).  The vote is on PANEL activity (a
+        # panel is active if any of its x windows holds an active
+        # block), not raw vertex activity: gating's win scales with the
+        # fraction of panels skipped, and panel activity saturates much
+        # earlier than vertex activity on power-law frontiers.
+        if meta.exp_panels == 0:
+            return _static(x2d)
         from jax import lax
-        ratio = jnp.mean(_activity(x2d).astype(jnp.float32))
+        blk_act = _activity(x2d)
+        xb = t["xr_bases"].reshape(nxe, meta.xr_nwin)
+        a_xe = jnp.any(blk_act[jnp.clip(xb, 0, sx // STRIPE - 1)],
+                       axis=1)
+        ratio = jnp.mean(a_xe[:meta.exp_panels].astype(jnp.float32))
         return lax.cond(ratio <= GATE_RATIO, _gated, _static, x2d)
     return _gated(x2d)
